@@ -1,13 +1,365 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{functions => ga}
+import graft.index.{IndexBuilder, IndexStore, OpenIndex}
+import graft.ingest.{Coerce, Ledger, Upsert}
+import graft.ops.{Ann, Dedup, TextStats}
+import graft.query.{Search, Wand}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-runnable oracle where the semantics
+  * are SQL-expressible. Float-ranked queries order by the EXACT metric
+  * (bit-identical across engines: fixed fold order) and output the
+  * rounded metric, so top-k membership never depends on rounding.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared inverted index per (JVM, sfDir): built once, reused ----
+  private val idxCache = TrieMap.empty[String, OpenIndex]
+  private[graft] def indexFor(s: SparkSession, dir: String): OpenIndex =
+    idxCache.getOrElseUpdate(dir, {
+      val root = Files.createTempDirectory("graft-idx-").toString
+      val store = new IndexStore(root)
+      val docs = tbl(s, dir, "documents")
+        .withColumn("url", concat(lit("doc://"), col("doc_id")))
+      IndexBuilder.build(s, docs, store,
+        IndexBuilder.Config(segSize = 512, blockSize = 64, slices = 2))
+      store.open(s)
+    })
+
+  /** Flagship: build the inverted index over the sf0.001 corpus and run a
+    * BM25 relevance search through block-max WAND (rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val idx = indexFor(spark, "/root/testdata/sf0.001")
+    Search.relevance(spark, idx, "spark index dup", k = 10)
+  }
+
+  // deterministic BM25 presentation: exact-score ranking, rounded output
+  private def bm25(s: SparkSession, dir: String, q: String, k: Int): DataFrame = {
+    val hits = Wand.topK(s, indexFor(s, dir), q, k)
+    hits.orderBy(col("score").desc, col("doc_id").asc)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS term FROM documents
+       |), tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |df AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($inList) GROUP BY term),
+       |scores AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+       |             tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS score
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS score FROM scores
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  private val tokSql = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S: scans / projections (SURVEY §2.1-2.2) ----
+    "q_scan_project" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .filter(col("lang") === "en")),
+
+    "q_coerce" -> ((s, d) =>
+      Coerce.documents(tbl(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("props")))),
+
+    // ---- P: term / prefix / match-all query surface (§2.2) ----
+    "q_term_filter" -> ((s, d) =>
+      Search.termSearch(
+        tbl(s, d, "documents"),
+        Map("lang" -> "EN", "source" -> "SRC3"), size = Int.MaxValue)
+        .orderBy(col("doc_id")).limit(100)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    "q_prefix_autocomplete" -> ((s, d) =>
+      Search.prefixSearch(
+        tbl(s, d, "documents"), "text", "spa sca", size = Int.MaxValue)
+        .get.orderBy(col("doc_id")).limit(10).select(col("doc_id"))),
+
+    // match-all + field sort (+ doc_id tiebreak for a deterministic gate)
+    "q_match_all_sort" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id")).limit(10)),
+
+    // ---- T3: BM25 top-k through the real index (WAND) ----
+    "q_bm25_mixed_top10" -> ((s, d) => bm25(s, d, "spark index dup", 10)),
+    "q_bm25_head_top100" -> ((s, d) => bm25(s, d, "the data web", 100)),
+    "q_bm25_rare_top10" -> ((s, d) => bm25(s, d, "dup", 10)),
+
+    // ---- A5/A6: postings + stats decoded from the compressed index ----
+    "q_postings" -> ((s, d) => {
+      import s.implicits._
+      indexFor(s, d).postings.flatMap { b =>
+        val docs = graft.index.VByte.undeltas(b.firstDoc,
+          graft.index.VByte.decode(b.docDeltas, b.n))
+        val tfs = graft.index.VByte.decode(b.tfs, b.n)
+        docs.indices.map(i => (b.term, docs(i), tfs(i)))
+      }.toDF("term", "doc_id", "tf")
+    }),
+
+    "q_term_stats" -> ((s, d) =>
+      indexFor(s, d).terms.toDF().select(col("term"), col("df"), col("cf"))),
+
+    "q_corpus_stats" -> ((s, d) => {
+      val st = indexFor(s, d).stats
+      import s.implicits._
+      Seq((st.nDocs, math.round(st.avgdl * 1e6) / 1e6, st.totalTokens))
+        .toDF("n_docs", "avgdl", "total_tokens")
+    }),
+
+    // ---- J1/J5/A3/A4: ingestion-surface parity over events ----
+    "q_upsert_lww" -> ((s, d) =>
+      Upsert.lastWriteWins(
+        tbl(s, d, "events").select(col("user_id"), col("event_id"), col("event_type"), col("value")),
+        keyCol = "user_id", orderCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))),
+
+    "q_resume_antijoin" -> ((s, d) => {
+      val events = tbl(s, d, "events")
+      // partial ledger: only a third of the users are marked processed
+      val ledger = events.filter(col("event_type") === "signup" && col("user_id") % 3 === 0)
+        .select(col("user_id"))
+      Ledger.pendingOnly(events, ledger, "user_id")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pending"))
+    }),
+
+    "q_summary_report" -> ((s, d) =>
+      tbl(s, d, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))),
+
+    "q_count_drift" -> ((s, d) => {
+      val src = tbl(s, d, "orders").agg(count(lit(1)).as("src_count"))
+      val tgt = tbl(s, d, "lineitem").agg(countDistinct(col("l_orderkey")).as("tgt_count"))
+      src.crossJoin(tgt).select(
+        col("src_count"), col("tgt_count"),
+        round(abs(col("tgt_count") - col("src_count")).cast("double") / col("src_count") * 100, 4)
+          .as("drift_pct"))
+    }),
+
+    "q_union_dedup" -> ((s, d) =>
+      tbl(s, d, "events").select(col("user_id").as("id"))
+        .union(tbl(s, d, "orders").select(col("o_custkey").as("id")))
+        .distinct()),
+
+    // ---- Dedup suite (training-data ops) ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(tbl(s, d, "documents"), "doc_id", "text")),
+
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    "q_dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: LSH banding is probabilistic
+      Dedup.minhashLsh(tbl(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, m = 128, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    "q_dedup_simhash" -> ((s, d) => // no SQL oracle: 64-bit sketch arithmetic
+      Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text", maxDist = 8)),
+
+    // ---- ANN / embeddings ----
+    "q_ann_brute_topk" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 4), k = 10)
+        .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+
+    "q_ann_lsh_topk" -> ((s, d) => { // no SQL oracle: LSH bucketing
+      val emb = tbl(s, d, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 4), k = 10, nPlanes = 8)
+        .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+
+    "q_emb_near_dup" -> ((s, d) =>
+      Ann.nearDupPairs(tbl(s, d, "embeddings"), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+
+    // ---- Text analysis ----
+    "q_token_count" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))),
+
+    "q_lang_id" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextStats.langId(col("text")).as("lang_guess"))),
+
+    "q_quality_score" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))),
+
+    // ---- Multimodal plumbing: binary column metadata ----
+    "q_binary_meta" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))),
+
+    // ---- Window: deterministic dense id assignment (§2.8 oracle form) ----
+    "q_docid_window" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        row_number().over(Window.orderBy(col("lang"), col("doc_id"))).as("dense_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+
+    "q_coerce" ->
+      """SELECT CAST(event_id AS DOUBLE) AS event_id, TRIM(CAST(event_type AS VARCHAR)) AS event_type,
+        | CAST(value AS DOUBLE) AS value, TRIM(CAST(props AS VARCHAR)) AS props FROM events""".stripMargin,
+
+    "q_term_filter" ->
+      """SELECT doc_id, lang, source FROM documents
+        | WHERE lower(lang) = 'en' AND lower(source) = 'src3' ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "q_prefix_autocomplete" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $tokSql AS toks FROM documents)
+         | WHERE list_bool_and(list_transform(['spa', 'sca'],
+         |   p -> len(list_filter(toks, t -> t LIKE p || '%')) > 0))
+         | ORDER BY doc_id LIMIT 10""".stripMargin,
+
+    "q_match_all_sort" ->
+      "SELECT doc_id, lang FROM documents ORDER BY lang, doc_id LIMIT 10",
+
+    "q_bm25_mixed_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
+    "q_bm25_head_top100" -> bm25Sql(Seq("the", "data", "web"), 100),
+    "q_bm25_rare_top10" -> bm25Sql(Seq("dup"), 10),
+
+    "q_postings" ->
+      s"""SELECT term, doc_id, count(*) AS tf
+         | FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+         | GROUP BY term, doc_id""".stripMargin,
+
+    "q_term_stats" ->
+      s"""SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+         |  GROUP BY doc_id, term) GROUP BY term""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl) AS total_tokens
+         | FROM (SELECT doc_id, len($tokSql) AS dl FROM documents)""".stripMargin,
+
+    "q_upsert_lww" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_resume_antijoin" ->
+      """SELECT user_id, count(*) AS n_pending FROM events e
+        | WHERE NOT EXISTS (SELECT 1 FROM events s
+        |   WHERE s.event_type = 'signup' AND s.user_id % 3 = 0 AND s.user_id = e.user_id)
+        | GROUP BY user_id""".stripMargin,
+
+    "q_summary_report" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type",
+
+    "q_count_drift" ->
+      """SELECT src_count, tgt_count,
+        |  round(abs(tgt_count - src_count)::DOUBLE / src_count * 100, 4) AS drift_pct
+        | FROM (SELECT count(*) AS src_count FROM orders),
+        |      (SELECT count(DISTINCT l_orderkey) AS tgt_count FROM lineitem)""".stripMargin,
+
+    "q_union_dedup" ->
+      "SELECT DISTINCT id FROM (SELECT user_id AS id FROM events UNION ALL SELECT o_custkey AS id FROM orders)",
+
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS n_docs FROM documents GROUP BY md5(text)",
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(t) - 2, 1)),
+         |    i -> CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+         |              ELSE t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] END)) AS s
+         |  FROM (SELECT doc_id, $tokSql AS t FROM documents) WHERE len(t) > 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+         |  SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jac
+         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+         | WHERE jac >= 0.5""".stripMargin,
+
+    "q_ann_brute_topk" ->
+      """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 4 AND c.vec_id <> q.vec_id) WHERE rank <= 10""".stripMargin,
+
+    "q_emb_near_dup" ->
+      """SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) WHERE cos >= 0.4""".stripMargin,
+
+    "q_token_count" ->
+      s"SELECT doc_id, len($tokSql) AS n_tokens FROM documents",
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, CASE WHEN best_r < 0.05 THEN 'und' ELSE best_l END AS lang_guess FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN r_fr
+         |         WHEN r_es >= r_en AND r_es >= r_de THEN r_es
+         |         WHEN r_en >= r_de THEN r_en ELSE r_de END AS best_r,
+         |    CASE WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'
+         |         WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+         |         WHEN r_en >= r_de THEN 'en' ELSE 'de' END AS best_l
+         |  FROM (SELECT doc_id,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is','it','for','on')))::DOUBLE / len(t) END AS r_en,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu')))::DOUBLE / len(t) END AS r_de,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','dans')))::DOUBLE / len(t) END AS r_fr,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> x IN ('el','los','las','y','es','un','una','en')))::DOUBLE / len(t) END AS r_es
+         |  FROM (SELECT doc_id, $tokSql AS t FROM documents)))""".stripMargin,
+
+    "q_quality_score" ->
+      s"""SELECT doc_id, round(
+         |   0.4 * least(len(t) / 64.0, 1.0)
+         | + 0.4 * (CASE WHEN strlen(text) = 0 THEN 0.0
+         |          ELSE strlen(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / strlen(text) END)
+         | + 0.2 * least((CASE WHEN len(t) = 0 THEN 0.0
+         |          ELSE len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is','it','for','on')))::DOUBLE / len(t) END) * 4.0, 1.0)
+         | , 6) AS quality
+         | FROM (SELECT doc_id, text, $tokSql AS t FROM documents)""".stripMargin,
+
+    "q_fingerprint" ->
+      s"SELECT doc_id, md5(array_to_string($tokSql, ' ')) AS fp FROM documents",
+
+    "q_binary_meta" ->
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
+
+    "q_docid_window" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY lang, doc_id) AS dense_id FROM documents"
+  )
 }

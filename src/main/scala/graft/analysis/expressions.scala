@@ -1,0 +1,70 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-native tokenizer expression (codegen'd, no UDF serialization).
+  *
+  * Stays inside whole-stage codegen: the generated code is a single static
+  * call into the pure Scala kernel, so tokenize → explode → aggregate
+  * pipelines keep one WholeStageCodegen span.
+  */
+case class Tokenize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    Tokenize.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.analysis.Tokenize.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
+object Tokenize {
+  /** Static entry point shared by interpreted + codegen paths. */
+  def eval(s: UTF8String): ArrayData = {
+    val toks = Analyzer.tokenize(s.toString)
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Token count without materializing the array (doclen computation). */
+case class TokenCount(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    Analyzer.countTokens(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.analysis.Analyzer.countTokens($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** Column-level API for the analysis expressions. Inputs are cast to
+  * string (the expressions expect StringType children).
+  */
+object functions {
+  def tokenize(c: Column): Column =
+    GraftBridge.column(Tokenize(GraftBridge.expression(c.cast("string"))))
+  def token_count(c: Column): Column =
+    GraftBridge.column(TokenCount(GraftBridge.expression(c.cast("string"))))
+}

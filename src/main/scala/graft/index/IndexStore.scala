@@ -1,0 +1,172 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One committed build slice: a contiguous docID-segment range with its
+  * lineage + metrics (the north rule's per-partition checkpoint record).
+  */
+case class SliceMeta(
+    sliceId: Int,
+    segLo: Int,
+    segHi: Int,
+    docs: Long,
+    postings: Long,
+    blocks: Long,
+    bytes: Long,
+    committedAtMs: Long)
+
+/** Parquet-backed index storage with a JSON manifest committed by atomic
+  * rename. Layout:
+  * {{{
+  *   <root>/manifest.json
+  *   <root>/postings/slice=<id>/  (parquet)
+  *   <root>/docs/slice=<id>/      (parquet)
+  *   <root>/norms/slice=<id>/     (parquet)
+  *   <root>/terms/slice=<id>/     (parquet; partial df/cf, merged on read)
+  * }}}
+  * Only slices listed in the manifest are visible to readers — a crashed
+  * build leaves orphan files that the next run overwrites. This is the
+  * resume ledger (reference bulkupdate.py:137-219 semantics): completed
+  * slices are skipped on restart, in-flight slices are rebuilt.
+  */
+final class IndexStore(val root: String) {
+  private val rootPath: Path = Paths.get(root)
+  private def manifestPath = rootPath.resolve("manifest.json")
+
+  def exists: Boolean = Files.exists(manifestPath)
+
+  def committedSlices: Seq[SliceMeta] =
+    if (!exists) Seq.empty else ManifestJson.parse(Files.readString(manifestPath))
+
+  /** Commit a slice: append to the manifest via write-tmp + atomic rename. */
+  def commitSlice(meta: SliceMeta): Unit = {
+    Files.createDirectories(rootPath)
+    val updated = committedSlices.filterNot(_.sliceId == meta.sliceId) :+ meta
+    val tmp = rootPath.resolve(s"manifest.json.tmp")
+    Files.write(tmp, ManifestJson.render(updated.sortBy(_.sliceId)).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def dropAll(): Unit = {
+    if (Files.exists(rootPath)) {
+      Files.walk(rootPath).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  def slicePath(table: String, sliceId: Int): String =
+    s"$root/$table/slice=$sliceId"
+
+  private def committedPaths(table: String): Seq[String] =
+    committedSlices.map(s => slicePath(table, s.sliceId))
+
+  private def readTable(spark: SparkSession, table: String): DataFrame = {
+    val paths = committedPaths(table)
+    require(paths.nonEmpty, s"index at $root has no committed slices")
+    spark.read.parquet(paths: _*)
+  }
+
+  def open(spark: SparkSession): OpenIndex = {
+    import spark.implicits._
+    val postings = readTable(spark, "postings").as[PostingBlock]
+    val norms = readTable(spark, "norms").as[SegNorms]
+    // per-slice partial term stats merge to global df/cf (slices partition
+    // docs, so per-term partials are additive)
+    val terms = readTable(spark, "terms")
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
+      .as[TermStat]
+    val docs = readTable(spark, "docs")
+    val slices = committedSlices
+    OpenIndex(this, postings, norms, terms, docs, slices)
+  }
+
+  /** Corpus stats derived from committed slice metrics + docs table. */
+  def stats(spark: SparkSession): IndexStats = {
+    val d = readTable(spark, "docs")
+      .agg(count("*").as("n"), sum("doclen").as("tok"))
+      .head()
+    val n = d.getLong(0)
+    val tok = d.getLong(1)
+    IndexStats(n, if (n == 0) 0.0 else tok.toDouble / n, 0L, tok)
+  }
+}
+
+case class OpenIndex(
+    store: IndexStore,
+    postings: Dataset[PostingBlock],
+    norms: Dataset[SegNorms],
+    terms: Dataset[TermStat],
+    docs: DataFrame,
+    slices: Seq[SliceMeta]) {
+  lazy val stats: IndexStats = store.stats(docs.sparkSession)
+}
+
+/** Minimal hand-rolled JSON for the manifest (flat schema, no deps). */
+private[index] object ManifestJson {
+  def render(slices: Seq[SliceMeta]): String = {
+    val items = slices.map { s =>
+      s"""{"sliceId":${s.sliceId},"segLo":${s.segLo},"segHi":${s.segHi},"docs":${s.docs},""" +
+        s""""postings":${s.postings},"blocks":${s.blocks},"bytes":${s.bytes},"committedAtMs":${s.committedAtMs}}"""
+    }
+    s"""{"format":"graft-index-v1","slices":[${items.mkString(",")}]}"""
+  }
+
+  private val num = """"(\w+)"\s*:\s*(-?\d+)""".r
+  def parse(json: String): Seq[SliceMeta] = {
+    val body = json.substring(json.indexOf('['), json.lastIndexOf(']') + 1)
+    val objs = mutable.ArrayBuffer.empty[SliceMeta]
+    var depth = 0
+    var start = -1
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) {
+            val fields = num.findAllMatchIn(body.substring(start, i + 1))
+              .map(m => m.group(1) -> m.group(2).toLong).toMap
+            objs += SliceMeta(
+              fields("sliceId").toInt, fields("segLo").toInt, fields("segHi").toInt,
+              fields("docs"), fields("postings"), fields("blocks"), fields("bytes"),
+              fields("committedAtMs"))
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    objs.toSeq
+  }
+}
+
+/** Alias = atomic indirection pointer (reference switch_alias.py:306-329):
+  * a tiny JSON manifest mapping alias → index root, switched by atomic
+  * rename so readers never observe a half-switch.
+  */
+final class AliasCatalog(dir: String) {
+  private val dirPath = Paths.get(dir)
+  private def path(alias: String) = dirPath.resolve(s"$alias.alias.json")
+
+  def resolve(alias: String): Option[String] =
+    if (!Files.exists(path(alias))) None
+    else {
+      val s = Files.readString(path(alias))
+      val m = """"target"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
+      m.map(_.group(1))
+    }
+
+  def set(alias: String, target: String): Unit = {
+    Files.createDirectories(dirPath)
+    val tmp = dirPath.resolve(s"$alias.alias.json.tmp")
+    Files.write(tmp, s"""{"alias":"$alias","target":"$target"}""".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path(alias), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def delete(alias: String): Unit = Files.deleteIfExists(path(alias))
+}

@@ -1,0 +1,113 @@
+package graft.index
+
+/** On-disk index model (SURVEY.md §1.4): an "index" is a set of Parquet
+  * tables plus a JSON manifest with per-slice lineage and metrics — the
+  * Iceberg-shaped metadata layer (no Iceberg runtime jar ships in this
+  * sandbox; the layout is kept behind IndexStore so a real catalog drops
+  * in later).
+  *
+  * Postings are document-partitioned into fixed-size docID segments
+  * (`seg = docId / segSize`). Within a (term, seg) pair, postings are
+  * sorted by docID, chunked into blocks of `blockSize`, delta+VByte
+  * compressed, and carry block-max BM25 tf-normalization metadata for
+  * block-max WAND. The seg dimension doubles as the skew salt for the
+  * postings aggregation: a head term touching half the corpus still
+  * forms groups bounded by segSize.
+  */
+case class PostingBlock(
+    term: String,
+    seg: Int,
+    blk: Int,
+    n: Int,
+    firstDoc: Long,
+    lastDoc: Long,
+    maxTfNorm: Double,     // max over block of BM25 tfNorm (exact doclen)
+    docDeltas: Array[Byte],// VByte gaps; first gap is from firstDoc (== 0)
+    tfs: Array[Byte])      // VByte term frequencies, aligned with docDeltas
+
+/** Per-segment document norms: sorted docIDs (delta+VByte) + doclens. */
+case class SegNorms(
+    seg: Int,
+    n: Int,
+    firstDoc: Long,
+    docDeltas: Array[Byte],
+    doclens: Array[Byte])  // fixed 4-byte LE ints, aligned with docIDs
+
+case class TermStat(term: String, df: Long, cf: Long)
+
+case class IndexStats(nDocs: Long, avgdl: Double, nTerms: Long, totalTokens: Long)
+
+case class DocMeta(doc_id: Long, url: String, doclen: Int, lang: String)
+
+/** Decoded posting cursor state used by the WAND evaluator. */
+private[graft] final class TermPostings(
+    val term: String,
+    val idf: Double,
+    blocksIn: Array[PostingBlock]) {
+
+  val blocks: Array[PostingBlock] = blocksIn.sortBy(_.blk)
+  /** Global upper bound for this term: idf * max block tfNorm. */
+  val maxScore: Double = {
+    var m = 0.0
+    var i = 0
+    while (i < blocks.length) { if (blocks(i).maxTfNorm > m) m = blocks(i).maxTfNorm; i += 1 }
+    idf * m
+  }
+
+  private var blockIdx = 0
+  private var docs: Array[Long] = _
+  private var tfsArr: Array[Long] = _
+  private var pos = 0
+  private var exhausted = blocks.isEmpty
+  if (!exhausted) loadBlock(0)
+
+  private def loadBlock(i: Int): Unit = {
+    val b = blocks(i)
+    docs = VByte.undeltas(b.firstDoc, VByte.decode(b.docDeltas, b.n))
+    tfsArr = VByte.decode(b.tfs, b.n)
+    pos = 0
+    blockIdx = i
+  }
+
+  def isExhausted: Boolean = exhausted
+  def docId: Long = docs(pos)
+  def tf: Long = tfsArr(pos)
+  /** Upper bound of the current block (block-max). */
+  def blockMaxScore: Double = idf * blocks(blockIdx).maxTfNorm
+  /** Last docID of the current block (skip boundary). */
+  def blockLastDoc: Long = blocks(blockIdx).lastDoc
+
+  /** Advance to the first posting with docId >= target. */
+  def advanceTo(target: Long): Unit = {
+    if (exhausted) return
+    // skip whole blocks via lastDoc metadata
+    if (blocks(blockIdx).lastDoc < target) {
+      var i = blockIdx + 1
+      while (i < blocks.length && blocks(i).lastDoc < target) i += 1
+      if (i >= blocks.length) { exhausted = true; return }
+      loadBlock(i)
+    }
+    // binary search within the decoded block
+    var lo = pos
+    var hi = docs.length - 1
+    if (docs(lo) >= target) { pos = lo; return }
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (docs(mid) < target) lo = mid else hi = mid - 1
+    }
+    pos = lo + 1
+    if (pos >= docs.length) {
+      if (blockIdx + 1 < blocks.length) loadBlock(blockIdx + 1)
+      else exhausted = true
+    }
+  }
+
+  def next(): Unit = {
+    if (exhausted) return
+    pos += 1
+    if (pos >= docs.length) {
+      if (blockIdx + 1 < blocks.length) loadBlock(blockIdx + 1)
+      else exhausted = true
+    }
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]). Two paths:
+  *  - brute-force cosine top-k: the correctness baseline. All arithmetic
+  *    in double precision via `zip_with`/`aggregate` (codegen-friendly
+  *    higher-order functions, no UDF).
+  *  - LSH-bucketed (random hyperplanes): the scale path. Each vector maps
+  *    to a deterministic sign-bit bucket; queries probe only their bucket
+  *    (optionally with multi-probe), turning the O(N·Q) scan into a
+  *    bucket-local join.
+  */
+object Ann {
+
+  /** Cosine similarity of two array<double> columns, computed in a fixed
+    * sequential fold order (index ascending) for cross-engine parity.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * `queries` is expected to be small (it is broadcast); the big side
+    * streams once with no shuffle until the final per-query top-k, which
+    * Spark plans as partial top-k + merge via window rank.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
+      col(vecCol).cast("array<double>").as("v_c"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("v_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v_q"), col("v_c")))
+      .select("query_id", "nbr_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes: nPlanes vectors of dim entries in
+    * [-1, 1), derived from splitmix64(seed, plane, coord).
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val h = Hash64.splitmix64(seed + p.toLong * 131071L + d)
+        (h >>> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
+      }
+    }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  def signBucket(vec: Array[Double], planes: Array[Array[Double]]): Long = {
+    var key = 0L
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      val pl = planes(p)
+      var i = 0
+      val n = math.min(vec.length, pl.length)
+      while (i < n) { dot += vec(i) * pl(i); i += 1 }
+      if (dot >= 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
+  /** LSH-bucketed ANN: join queries to corpus within matching buckets and
+    * rank by exact cosine inside the bucket. Recall < 1 by construction;
+    * `nPlanes` trades recall vs bucket size.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucketOf = udf((v: Seq[Double]) => signBucket(v.toArray, planes))
+
+    def withBucket(df: DataFrame, id: String, vec: String) = df
+      .select(col(idCol).cast("long").as(id),
+        col(vecCol).cast("array<double>").as(vec))
+      .withColumn("bucket", bucketOf(col(vec)))
+
+    val c = withBucket(corpus, "nbr_id", "v_c")
+    val q = withBucket(queries, "query_id", "v_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    c.join(broadcast(q), "bucket")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
+    * Exact quadratic form for oracle parity; the scale path buckets by
+    * LSH first (`lshNearDupPairs`).
+    */
+  def nearDupPairs(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).cast("long").as("id_a"),
+      col(vecCol).cast("array<double>").as("v_a"))
+    val b = df.select(col(idCol).cast("long").as("id_b"),
+      col(vecCol).cast("array<double>").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

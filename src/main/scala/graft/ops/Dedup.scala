@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 64-bit string hash shared by the dedup sketches
+  * (polynomial rolling hash, fixed base; Long overflow wraps, which is
+  * deterministic on the JVM). Not cryptographic — collision-tolerant
+  * sketch input only.
+  */
+object Hash64 {
+  final val Base = 1099511628211L
+
+  def apply(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h = h * Base + s.charAt(i); i += 1 }
+    h
+  }
+
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** Web-scale deduplication operators over a corpus of (id, text).
+  *
+  * Scale design: every method is a pure per-row sketch followed by a
+  * key-grouped shuffle whose groups are bounded (band buckets / hash
+  * groups), never an O(n²) comparison. Exact pairwise verification only
+  * runs inside candidate buckets.
+  */
+object Dedup {
+
+  /** Exact duplicates: group by content hash; representative = min id.
+    * One shuffle on a 128-bit key; trivially scales.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
+
+  /** Word k-gram shingle set of an analyzed token stream. */
+  def shingles(tokens: Array[String], k: Int): Array[String] =
+    if (tokens.length < k) {
+      if (tokens.isEmpty) Array.empty else Array(tokens.mkString(" "))
+    } else tokens.sliding(k).map(_.mkString(" ")).toArray
+
+  /** MinHash signature of a shingle set: m permutations h_i = a_i*x + b_i
+    * over the 64-bit shingle hashes; min taken unsigned. Deterministic in
+    * (seed, content).
+    */
+  def minhashSignature(shingleHashes: Array[Long], m: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(m)(-1L) // unsigned max
+    var p = 0
+    while (p < m) {
+      val a = Hash64.splitmix64(seed + 2L * p) | 1L
+      val b = Hash64.splitmix64(seed + 2L * p + 1)
+      var best = -1L
+      var i = 0
+      while (i < shingleHashes.length) {
+        val h = a * shingleHashes(i) + b
+        if (java.lang.Long.compareUnsigned(h, best) < 0) best = h
+        i += 1
+      }
+      sig(p) = best
+      p += 1
+    }
+    sig
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    * Pipeline: shingle → minhash(m) → band (b bands of r rows) → bucket
+    * join within (band, bandHash) → distinct pairs → exact Jaccard verify.
+    * The band shuffle is the only wide op; bucket sizes concentrate around
+    * true near-dups, and a guard caps pathological buckets.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, m: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, seed: Long = 42L,
+      maxBucket: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(m % bands == 0, "m must divide into bands")
+    val r = m / bands
+
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.analysis.Analyzer.tokenize(text)
+        val sh = shingles(toks, shingleK).distinct.map(Hash64(_))
+        (id, minhashSignature(sh, m, seed))
+      }
+      .toDF("id", "sig")
+
+    val banded = sigs.select(
+      col("id"),
+      posexplode(
+        // band hash = hash of the r signature values of that band
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"xxhash64(concat_ws(':', slice(sig, b * $r + 1, $r))))")
+      ).as(Seq("band", "bhash")))
+
+    val buckets = banded
+      .groupBy("band", "bhash")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+
+    val pairs = buckets
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+
+    // verify candidates with exact Jaccard over shingle sets
+    val sets = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, shingles(graft.analysis.Analyzer.tokenize(text), shingleK).distinct)
+      }
+      .toDF("id", "sh")
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** All unordered pairs (a < b) of a (small, capped) bucket array. */
+  private def pairsOf(ids: Column): Column =
+    expr("""
+      flatten(transform(ids, (x, i) ->
+        transform(filter(ids, (y, j) -> j > i),
+          y -> struct(least(x, y) AS _1, greatest(x, y) AS _2))))
+    """)
+
+  /** SimHash-64: per-token hash bit votes weighted by tf. */
+  def simhash64(tokens: Array[String]): Long = {
+    if (tokens.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = Hash64(tokens(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Blocking by
+    * the pigeonhole principle: split 64 bits into (maxDist+1) bands — any
+    * pair within maxDist matches exactly on ≥1 band, so candidates come
+    * from equality joins on band keys (scales; no all-pairs scan).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(graft.analysis.Analyzer.tokenize(text))) }
+      .toDF("id", "sim")
+
+    val banded = hashed.select(
+      col("id"), col("sim"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> " +
+          s"(shiftright(sim, b * $width) & ${(1L << width) - 1}))"))
+        .as(Seq("band", "key")))
+
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:
+    * (shingle, doc) → self-join on shingle → per-pair intersection count →
+    * Jaccard. `maxShingleDf` drops ubiquitous shingles (they generate
+    * quadratic candidates while adding no discrimination) — the standard
+    * web-scale guard; disabled by default for oracle parity.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docShingles = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        shingles(graft.analysis.Analyzer.tokenize(text), shingleK).distinct
+          .map(s => (id, s))
+      }
+      .toDF("id", "shingle")
+
+    val filtered =
+      if (maxShingleDf == Long.MaxValue) docShingles
+      else {
+        val dfCounts = docShingles.groupBy("shingle")
+          .agg(count(lit(1)).as("sdf")).filter(col("sdf") <= maxShingleDf)
+        docShingles.join(dfCounts.select("shingle"), Seq("shingle"), "left_semi")
+      }
+
+    val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
+
+    val a = filtered.select(col("shingle"), col("id").as("id_a"))
+    val b = filtered.select(col("shingle"), col("id").as("id_b"))
+    val inter = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

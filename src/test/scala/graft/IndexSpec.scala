@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.{Analyzer, functions => ga}
+import graft.index._
+
+class IndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshStore() =
+    new IndexStore(Files.createTempDirectory("graft-test-idx-").toString)
+
+  // pages urls are https://hostH.example/p/<id>; derive the id from the url
+  private lazy val docs =
+    Corpus.pages(spark, 1000)
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "url", "text", "lang")
+
+  test("postings decode back to brute-force term frequencies") {
+    import spark.implicits._
+    val store = freshStore()
+    IndexBuilder.build(spark, docs, store, IndexBuilder.Config(segSize = 128, blockSize = 16, slices = 3))
+    val idx = store.open(spark)
+
+    val decoded = idx.postings.flatMap { b =>
+      val ds = VByte.undeltas(b.firstDoc, VByte.decode(b.docDeltas, b.n))
+      val fs = VByte.decode(b.tfs, b.n)
+      ds.indices.map(i => (b.term, ds(i), fs(i)))
+    }.collect().toSet
+
+    val brute = docs.select(col("doc_id"), explode(ga.tokenize(col("text"))).as("term"))
+      .groupBy("term", "doc_id").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (t, d, c) => (t, d, c) }.toSet
+
+    assert(decoded == brute)
+  }
+
+  test("term stats df/cf match brute force; corpus stats correct") {
+    import spark.implicits._
+    val store = freshStore()
+    IndexBuilder.build(spark, docs, store, IndexBuilder.Config(segSize = 256, blockSize = 32, slices = 2))
+    val idx = store.open(spark)
+    val gotTerms = idx.terms.collect().map(t => (t.term, t.df, t.cf)).toSet
+    val brute = docs.select(col("doc_id"), explode(ga.tokenize(col("text"))).as("term"))
+      .groupBy("term", "doc_id").count()
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("count").as("cf"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(gotTerms == brute)
+
+    val st = idx.stats
+    val expN = docs.count()
+    val expTok = docs.select(sum(ga.token_count(col("text")))).head().getLong(0)
+    assert(st.nDocs == expN)
+    assert(st.totalTokens == expTok)
+    assert(math.abs(st.avgdl - expTok.toDouble / expN) < 1e-12)
+  }
+
+  test("blocks respect size, sorted docIDs, block-max is a true max") {
+    import spark.implicits._
+    val store = freshStore()
+    IndexBuilder.build(spark, docs, store, IndexBuilder.Config(segSize = 128, blockSize = 16, slices = 1))
+    val idx = store.open(spark)
+    val avgdl = idx.stats.avgdl
+    val normsBySeg = idx.norms.collect().map(n => n.seg -> n).toMap
+    idx.postings.collect().foreach { b =>
+      assert(b.n <= 16 && b.n > 0)
+      val ds = VByte.undeltas(b.firstDoc, VByte.decode(b.docDeltas, b.n))
+      assert(ds.toSeq == ds.sorted.toSeq)
+      assert(ds.head == b.firstDoc && ds.last == b.lastDoc)
+      assert(ds.forall(d => (d / 128).toInt == b.seg))
+      // block-max: recompute tfNorm of each entry with exact doclen
+      val nm = normsBySeg(b.seg)
+      val nd = VByte.undeltas(nm.firstDoc, VByte.decode(nm.docDeltas, nm.n))
+      val fs = VByte.decode(b.tfs, b.n)
+      val maxNorm = ds.zip(fs).map { case (d, f) =>
+        val dl = VByte.unpackIntAt(nm.doclens, java.util.Arrays.binarySearch(nd, d))
+        BM25.tfNorm(f, dl.toLong, avgdl)
+      }.max
+      assert(math.abs(maxNorm - b.maxTfNorm) < 1e-15, s"term=${b.term} seg=${b.seg} blk=${b.blk}")
+    }
+  }
+
+  test("resume: injected failure, restart skips committed slices, index identical") {
+    import spark.implicits._
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16, slices = 4)
+
+    val full = freshStore()
+    IndexBuilder.build(spark, docs, full, cfg)
+
+    val resumed = freshStore()
+    intercept[RuntimeException] {
+      IndexBuilder.build(spark, docs, resumed, cfg, fresh = true, failAfterSlice = 2)
+    }
+    assert(resumed.committedSlices.size == 2)
+    val report = IndexBuilder.build(spark, docs, resumed, cfg, fresh = false)
+    assert(report.slicesSkipped == 2 && report.slicesBuilt == 2)
+
+    def dump(s: IndexStore) = s.open(spark).postings.collect()
+      .map(b => (b.term, b.seg, b.blk, b.n, b.firstDoc, b.lastDoc,
+        b.docDeltas.toSeq, b.tfs.toSeq)).toSet
+    assert(dump(full) == dump(resumed))
+    // manifest carries lineage metrics
+    assert(resumed.committedSlices.forall(m => m.docs > 0 && m.postings > 0 && m.bytes > 0))
+  }
+
+  test("deterministic across parallelism: 2 vs 7 shuffle partitions") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    val s7 = spark.newSession()
+    s7.conf.set("spark.sql.shuffle.partitions", "7")
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      val store = freshStore()
+      val d = Corpus.pages(s, 500)
+        .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+        .select("doc_id", "url", "text", "lang")
+      IndexBuilder.build(s, d, store, IndexBuilder.Config(segSize = 64, blockSize = 8, slices = 2))
+      store.open(s).postings.collect()
+        .map(b => (b.term, b.seg, b.blk, b.docDeltas.toSeq, b.tfs.toSeq)).toSet
+    }
+    assert(build(s2) == build(s7))
+  }
+
+  test("html column is pruned from the index build scan") {
+    // the tokenize pipeline must never read the binary html payload:
+    // check the optimized plan's ReadSchema excludes 'html'
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-pages-").toString
+    Corpus.pages(spark, 100).write.mode("overwrite").parquet(tmp)
+    val pages = spark.read.parquet(tmp)
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+    val tf = pages
+      .select(col("doc_id"), explode(ga.tokenize(col("text"))).as("term"))
+      .groupBy("term").count()
+    val physical = tf.queryExecution.executedPlan.toString
+    assert(!physical.contains("html"), "binary html column must be pruned from the scan")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.index.AliasCatalog
+import graft.ingest._
+
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("coercion: NaN → null, numeric → double, strings trimmed (reference golden)") {
+    // mirrors reference tests/test_file_processor.py:164-180
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("value", DoubleType), StructField("empty", StringType)))
+    val rows = Seq(
+      Row(1, "  test  ", 42.5, null),
+      Row(2, "x", Double.NaN, "  pad  "))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = Coerce.documents(df).collect()
+    assert(got(0).getDouble(0) == 1.0)          // numeric → double
+    assert(got(0).getString(1) == "test")       // trimmed
+    assert(got(0).getDouble(2) == 42.5)
+    assert(got(0).isNullAt(3))                  // null preserved
+    assert(got(1).isNullAt(2))                  // NaN → null
+    assert(got(1).getString(3) == "pad")
+  }
+
+  test("upsert: last write wins per id") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")).toDF("id", "seq", "v")
+    val got = Upsert.lastWriteWins(df, "id", Seq("seq"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, "b"), (2L, 1L, "c")))
+  }
+
+  test("resume anti-join skips ledgered work") {
+    import spark.implicits._
+    val work = Seq("f1", "f2", "f3", "f4").toDF("fileId")
+    val ledger = Seq("f2", "f4").toDF("fileId")
+    val got = Ledger.pendingOnly(work, ledger, "fileId")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("f1", "f3"))
+  }
+
+  test("alias switch guardrails (reference switch_alias.py semantics)") {
+    import Guardrails._
+    assert(validateSwitch("idx", "idx", 100, 100) == Abort("source and target are the same index"))
+    assert(validateSwitch("a", "b", 100, 0) == Abort("target index is empty"))
+    assert(validateSwitch("a", "b", 100, 100) == Proceed)
+    assert(validateSwitch("a", "b", 100, 95) == Proceed)      // 5% < 10%
+    assert(validateSwitch("a", "b", 100, 89).isInstanceOf[Abort]) // 11% > 10%
+    assert(validateSwitch("a", "b", 0, 0) == Proceed)          // both empty
+    assert(countDriftPct(100, 110) == 10.0)
+    assert(countDriftPct(0, 5) == 100.0)
+  }
+
+  test("cleanup cost-based plan: threshold decides delete-all vs recreate") {
+    import Cleanup._
+    assert(plan(1000000L) == DeleteAllDocuments)   // ≤ threshold
+    assert(plan(1000001L) == DropAndRecreate)      // > threshold
+    assert(plan(0L) == DeleteAllDocuments)
+  }
+
+  test("DLQ chunking: ≤230KB single part, larger split with part numbering") {
+    val small = Dlq.chunk("x" * 100)
+    assert(small == Seq((1, 1, "x" * 100)))
+    val big = Dlq.chunk("y" * 500000)
+    assert(big.length == 3)
+    assert(big.map(_._1) == Seq(1, 2, 3))
+    assert(big.forall(_._2 == 3))
+    assert(big.map(_._3).mkString == "y" * 500000)
+    assert(big.forall(_._3.getBytes("UTF-8").length <= Dlq.MaxPayloadBytes))
+    // multi-byte chars never split mid-sequence
+    val uni = Dlq.chunk("é" * 200000) // 2 bytes each
+    assert(uni.map(_._3).mkString == "é" * 200000)
+  }
+
+  test("alias catalog: atomic set/resolve/switch") {
+    val dir = Files.createTempDirectory("graft-alias-").toString
+    val cat = new AliasCatalog(dir)
+    assert(cat.resolve("live").isEmpty)
+    cat.set("live", "/idx/v1")
+    assert(cat.resolve("live").contains("/idx/v1"))
+    cat.set("live", "/idx/v2") // the zero-downtime switch
+    assert(cat.resolve("live").contains("/idx/v2"))
+    cat.delete("live")
+    assert(cat.resolve("live").isEmpty)
+  }
+
+  test("reindex: copies all rows, aborts on empty source") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-src-").toString + "/t"
+    val tgt = Files.createTempDirectory("graft-tgt-").toString + "/t"
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(src)
+    assert(Reindex.copy(spark, src, tgt) == 2)
+    assert(spark.read.parquet(tgt).count() == 2)
+    val empty = Files.createTempDirectory("graft-empty-").toString + "/t"
+    Seq.empty[(Int, String)].toDF("k", "v").write.parquet(empty)
+    intercept[IllegalArgumentException] { Reindex.copy(spark, empty, tgt) }
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content") {
+    val df = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val got = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L))) // (rep_id, n_docs)
+  }
+
+  test("shingles: k-grams, short docs fall back to whole-doc shingle") {
+    assert(Dedup.shingles(Array("a", "b", "c", "d"), 3).toSeq == Seq("a b c", "b c d"))
+    assert(Dedup.shingles(Array("a", "b"), 3).toSeq == Seq("a b"))
+    assert(Dedup.shingles(Array.empty[String], 3).isEmpty)
+  }
+
+  test("minhash: near-identical docs collide, unrelated don't") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " altA altB altC"
+    val far = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = docs((1L, base), (2L, near), (3L, far))
+    val got = Dedup.minhashLsh(df, "doc_id", "text", shingleK = 3, m = 128,
+      bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("minhash signature is deterministic and similarity-preserving") {
+    val a = (1 to 100).map(i => Hash64(s"s$i")).toArray
+    val b = (11 to 110).map(i => Hash64(s"s$i")).toArray // 90/110 jaccard ≈ 0.82
+    val sa1 = Dedup.minhashSignature(a, 128, 42L)
+    val sa2 = Dedup.minhashSignature(a, 128, 42L)
+    assert(sa1.toSeq == sa2.toSeq)
+    val sb = Dedup.minhashSignature(b, 128, 42L)
+    val agree = sa1.zip(sb).count { case (x, y) => x == y } / 128.0
+    assert(agree > 0.6 && agree < 1.0)
+  }
+
+  test("simhash: identical → distance 0; near docs small distance; pairs found") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "the quick brown fox jumps over the lazy cat again and again"
+    val h1 = Dedup.simhash64(graft.analysis.Analyzer.tokenize(t1))
+    val h2 = Dedup.simhash64(graft.analysis.Analyzer.tokenize(t2))
+    assert(h1 == Dedup.simhash64(graft.analysis.Analyzer.tokenize(t1)))
+    val dist = java.lang.Long.bitCount(h1 ^ h2)
+    assert(dist < 16, s"near-dup simhash distance was $dist")
+    val df = docs((1L, t1), (2L, t2), (3L, "completely unrelated words xylophone quartz"))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact similarity value") {
+    // doc1 shingles {a b c, b c d}; doc2 shingles {a b c}; jaccard = 1/2
+    val df = docs((1L, "a b c d"), (2L, "a b c"))
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleK = 3, threshold = 0.1)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(2) == 0.5)
+  }
+
+  test("ANN brute force: exact neighbors on constructed vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f))) // opposite
+      .toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq.sortBy(_._2)
+    assert(got.map(_._1) == Seq(1L, 2L))
+  }
+
+  test("ANN LSH: deterministic buckets; same vector → same bucket") {
+    val planes = Ann.hyperplanes(4, 8, 42L)
+    val v = Array(0.3, -0.2, 0.9, 0.1)
+    assert(Ann.signBucket(v, planes) == Ann.signBucket(v.clone(), planes))
+    val planes2 = Ann.hyperplanes(4, 8, 42L)
+    assert(planes.flatten.toSeq == planes2.flatten.toSeq)
+  }
+
+  test("langid: picks the language with the most stopwords; und on no evidence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog in the house of it is for on"),
+      (2L, "der hund und die katze ist nicht ein zu"),
+      (3L, "xylophone quartz bogus tokens nothing")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextStats.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("winnow fingerprint: deterministic, subset-robust") {
+    val toks = (1 to 100).map(i => s"t$i").toArray
+    val f1 = TextStats.winnow(toks)
+    val f2 = TextStats.winnow(toks)
+    assert(f1.toSeq == f2.toSeq && f1.nonEmpty)
+    assert(TextStats.winnow(Array.empty[String]).isEmpty)
+  }
+
+  test("multimodal stub: deterministic decode, batch shape preserved") {
+    import spark.implicits._
+    val df = Seq((1L, "payload one"), (2L, "payload two")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(df, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == "payload one".getBytes("UTF-8").length)
+    assert(feats(0).feature.length == 8)
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
+    assert(Multimodal.frameOffsets(100, 4).toSeq == Seq(0, 25, 50, 75))
+    assert(Multimodal.frameOffsets(0, 4).isEmpty)
+  }
+
+  test("DocIds: dense deterministic ids independent of partitioning") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => s"key$i").toDF("url")
+    def ids(parts: Int) = DocIds.assign(df.repartition(parts), "url", buckets = 16)
+      .select("url", "doc_id").as[(String, Long)].collect().sortBy(_._1).toSeq
+    val a = ids(1)
+    val b = ids(7)
+    assert(a == b)
+    val allIds = a.map(_._2).sorted
+    assert(allIds == (0L until 500L).toSeq) // dense permutation
+  }
+}

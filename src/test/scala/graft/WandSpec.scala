@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.index.{IndexBuilder, IndexStore}
+import graft.query.{OracleScorer, TopKHeap, Wand}
+
+/** Rank-identity: block-max WAND over the compressed index must return
+  * bit-identical (docId, score) top-k to the brute-force oracle scorer,
+  * for every query shape (head-only, rare-only, mixed, single, no-hit).
+  */
+class WandSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs =
+    Corpus.pages(spark, 2000)
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "url", "text", "lang")
+      .cache()
+
+  private lazy val index = {
+    val store = new IndexStore(Files.createTempDirectory("graft-wand-idx-").toString)
+    IndexBuilder.build(spark, docs, store,
+      IndexBuilder.Config(segSize = 256, blockSize = 32, slices = 2))
+    store.open(spark)
+  }
+
+  private val queries = Seq(
+    "the of and",                    // head terms only (skew path)
+    "posting crawl engine",         // mid-frequency terms
+    "docmark42",                    // unique marker (rare term)
+    "the web docmark77",            // mixed head + rare
+    "zzzunknown qqqmissing",        // no hits
+    "the",                          // single head term
+    "w500 w777 w333",               // tail vocabulary terms
+    "The OF The THE and")           // case + duplicate query terms
+
+  test("WAND is rank-identical to the oracle (docIDs and exact scores)") {
+    for (q <- queries; k <- Seq(10, 100)) {
+      val wand = Wand.topK(spark, index, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oracle = OracleScorer.topK(spark, docs, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wand == oracle, s"query='$q' k=$k\nwand=$wand\noracle=$oracle")
+    }
+  }
+
+  test("scores are identical across parallelism levels") {
+    val q = "the web crawl"
+    val a = Wand.topK(spark, index, q, 50).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    val b = Wand.topK(s2, index, q, 50).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
+  test("unique marker query returns exactly its document") {
+    val hits = Wand.topK(spark, index, "docmark123", 10).collect()
+    assert(hits.length == 1 && hits(0).getLong(0) == 123L)
+  }
+
+  test("TopKHeap keeps best k by (score desc, docId asc)") {
+    val h = new TopKHeap(3)
+    Seq((1L, 1.0), (2L, 5.0), (3L, 3.0), (4L, 5.0), (5L, 0.5), (6L, 3.0)).foreach {
+      case (d, s) => h.offer(d, s)
+    }
+    val got = h.result().sortBy(t => (-t._2, t._1)).toSeq
+    assert(got == Seq((2L, 5.0), (4L, 5.0), (3L, 3.0)))
+  }
+
+  test("heap tie-break: equal scores keep smaller docId") {
+    val h = new TopKHeap(2)
+    h.offer(10L, 1.0); h.offer(5L, 1.0); h.offer(7L, 1.0); h.offer(1L, 1.0)
+    val got = h.result().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1.0), (5L, 1.0)))
+  }
+}
