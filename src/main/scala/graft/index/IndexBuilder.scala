@@ -9,14 +9,24 @@ import graft.analysis.{functions => ga}
   * tokenize/postings work Lucene performed server-side — here implemented
   * natively, SURVEY.md §2 A5/A6).
   *
-  * Plan shape (one slice):
+  * Plan shape (one slice) — exactly ONE wide shuffle:
   * {{{
-  *   scan(docs)                          -- column pruning drops html etc.
-  *     -> tokenize Expression (codegen) -> posexplode
-  *     -> groupBy(term, docId)   agg count            [shuffle 1: partial agg]
-  *     -> groupByKey((term, seg)) blocks              [shuffle 2: bounded groups]
-  *     -> write postings/norms/docs/terms + manifest commit
+  *   scan(docs)                        -- column pruning drops html etc.
+  *     -> per-doc tf flatMap           -- tokenize + per-doc hash count:
+  *                                        tf(term,doc) is per-ROW work, a
+  *                                        doc's tokens never cross rows,
+  *                                        so no (term,docId) shuffle exists
+  *     -> groupByKey((term, seg))      [the one shuffle: bounded groups]
+  *     -> encode blocks -> write postings
+  *   terms(df, cf)  <- postings parquet (columnar agg of n/tfSum — no
+  *                     second pass over raw text)
+  *   docs/norms     <- token_count scan (doclen only, no token arrays)
   * }}}
+  * Earlier shape ran tf as a global groupBy(term, docId): a ~28M-entry
+  * hash aggregate that was memory-bound and stopped scaling past 8 cores;
+  * the per-doc map (≤ a few hundred entries, cache-resident) scales
+  * linearly and feeds the shuffle 2× less data.
+  *
   * Skew: head terms (df ≈ N/2 in web text) would make `groupBy(term)`
   * explode; the seg dimension (seg = docId / segSize) is a deterministic
   * salt that bounds every (term, seg) group at segSize postings, and the
@@ -42,6 +52,15 @@ object IndexBuilder {
       postings: Long,
       elapsedMs: Long)
 
+  private val verbose = sys.env.contains("GRAFT_BUILD_VERBOSE")
+  private def phase[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (verbose)
+      println(f"[build] $label ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    r
+  }
+
   /** Build an index over `docs(doc_id, url, text, lang)` into `store`.
     * `fresh=true` drops any existing index first; otherwise committed
     * slices are skipped (resume).
@@ -66,9 +85,13 @@ object IndexBuilder {
         col("url").cast("string").as("url"),
         col("text"),
         col("lang").cast("string").as("lang"))
-    val bounds = base.agg(min("doc_id"), max("doc_id"), count("*")).head()
+    // one stats pass: docID bounds + count + global avgdl (token_count is
+    // the counting kernel — no token arrays materialize)
+    val bounds = phase("stats")(base.agg(
+      min("doc_id"), max("doc_id"), count("*"),
+      avg(ga.token_count(col("text")))).head())
     val (minId, maxId, nDocs) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    val avgdl = base.select(avg(ga.token_count(col("text")))).head().getDouble(0)
+    val avgdl = bounds.getDouble(3)
 
     val segSize = cfg.segSize.toLong
     val segLoAll = (minId / segSize).toInt
@@ -115,55 +138,134 @@ object IndexBuilder {
     val segSize = cfg.segSize.toLong
     val blockSize = cfg.blockSize
 
-    val withToks = slice.withColumn("toks", ga.tokenize(col("text")))
-    val docMeta = withToks
-      .select(col("doc_id"), col("url"), size(col("toks")).as("doclen"), col("lang"))
-
-    // tf per (term, doc): shuffle 1 — Spark's partial aggregation combines
-    // map-side so the shuffle carries (term, doc) pairs, not raw tokens.
-    val tf = withToks
-      .select(col("doc_id"), size(col("toks")).as("doclen"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("doclen"))
-      .agg(count(lit(1)).as("tf"))
-
-    // blocks per (term, seg): shuffle 2 — bounded groups (≤ segSize docs).
-    val blocks = tf
-      .select(col("term"), col("doc_id"), col("doclen"), col("tf"),
-        (col("doc_id") / segSize).cast("int").as("seg"))
-      .as[(String, Long, Int, Long, Int)]
-      .groupByKey(r => (r._1, r._5))
-      .flatMapGroups { (key: (String, Int), rows: Iterator[(String, Long, Int, Long, Int)]) =>
-        val (term, seg) = key
-        val entries = rows.map { case (_, d, dl, f, _) => (d, f, dl) }.toArray
-        java.util.Arrays.sort(entries, Ordering.by((e: (Long, Long, Int)) => e._1))
-        entries.grouped(blockSize).zipWithIndex.map { case (chunk, blk) =>
-          val ds = chunk.map(_._1)
-          val fs = chunk.map(_._2)
-          var maxNorm = 0.0
+    // per-doc term frequencies: pure per-row work (a doc's tokens never
+    // cross rows), emitted directly — no (term, docId) shuffle exists.
+    val tfRows = slice
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.flatMap { case (docId, text) =>
+          val toks = graft.analysis.Analyzer.tokenize(text)
+          val m = new java.util.HashMap[String, Int](toks.length * 2)
           var i = 0
-          while (i < chunk.length) {
-            val n = BM25.tfNorm(chunk(i)._2, chunk(i)._3.toLong, avgdl)
-            if (n > maxNorm) maxNorm = n
+          while (i < toks.length) {
+            val prev = m.getOrDefault(toks(i), 0)
+            m.put(toks(i), prev + 1)
             i += 1
           }
-          PostingBlock(term, seg, blk, chunk.length, ds(0), ds(chunk.length - 1),
-            maxNorm, VByte.encode(VByte.deltasFrom(ds(0), ds)), VByte.encode(fs))
+          val seg = (docId / segSize).toInt
+          val dl = toks.length
+          val out = new Array[(String, Long, Int, Int, Int)](m.size())
+          val it = m.entrySet().iterator()
+          var j = 0
+          while (it.hasNext) {
+            val e = it.next()
+            out(j) = (e.getKey, docId, e.getValue, dl, seg)
+            j += 1
+          }
+          out
         }
       }
 
+    // blocks per (term, seg): THE one shuffle. Hash-repartition colocates a
+    // (term, seg) group; the Tungsten sort orders runs by (term, seg, doc)
+    // so block building is a streaming pass — no per-group hashmap, no
+    // MapGroupsExec buffering (measured ~2× over groupByKey+flatMapGroups).
+    val blocks = tfRows
+      .toDF("term", "doc_id", "tf", "doclen", "seg")
+      .repartition(col("term"), col("seg"))
+      .sortWithinPartitions(col("term"), col("seg"), col("doc_id"))
+      .as[(String, Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        new Iterator[PostingBlock] {
+          private var curTerm: String = null
+          private var curSeg = Int.MinValue
+          private var blk = 0
+          private val ds = new Array[Long](blockSize)
+          private val fs = new Array[Long](blockSize)
+          private val dls = new Array[Int](blockSize)
+          private var n = 0
+          private var pending: PostingBlock = null
+          private var done = false
+
+          private def emit(): PostingBlock = {
+            var maxNorm = 0.0
+            var tfSum = 0L
+            var i = 0
+            while (i < n) {
+              val norm = BM25.tfNorm(fs(i), dls(i).toLong, avgdl)
+              if (norm > maxNorm) maxNorm = norm
+              tfSum += fs(i)
+              i += 1
+            }
+            val docsArr = java.util.Arrays.copyOf(ds, n)
+            val b = PostingBlock(curTerm, curSeg, blk, n, docsArr(0), docsArr(n - 1),
+              maxNorm, tfSum,
+              VByte.encode(VByte.deltasFrom(docsArr(0), docsArr)),
+              VByte.encode(java.util.Arrays.copyOf(fs, n)))
+            blk += 1
+            n = 0
+            b
+          }
+
+          private def advance(): Unit = {
+            while (pending == null && !done) {
+              if (it.hasNext) {
+                val (term, d, f, dl, seg) = it.next()
+                if (term != curTerm || seg != curSeg) {
+                  if (n > 0) pending = emit()
+                  curTerm = term; curSeg = seg; blk = 0
+                } else if (n == blockSize) {
+                  pending = emit()
+                }
+                ds(n) = d; fs(n) = f; dls(n) = dl; n += 1
+              } else {
+                done = true
+                if (n > 0) pending = emit()
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): PostingBlock = {
+            advance()
+            val b = pending; pending = null; b
+          }
+        }
+      }
+
+    // blocks leave the sort-stream already term-sorted within each hash
+    // partition, so per-file row-group min/max stats prune term lookups.
+    // No repartitionByRange here: range partitioning SAMPLES its input,
+    // which would re-execute the whole tokenize pipeline a second time.
+    // The globally term-sorted layout is compaction's job (IndexStore
+    // .compact, the forcemerge analogue).
     val postingsPath = store.slicePath("postings", sliceId)
-    blocks
-      .repartitionByRange(col("term"), col("seg"))
-      .sortWithinPartitions(col("term"), col("seg"), col("blk"))
-      .write.mode("overwrite").parquet(postingsPath)
+    // Observation rides the write job: block/posting counts with no extra pass
+    val pObs = org.apache.spark.sql.Observation()
+    phase("postings")(blocks.toDF()
+      .observe(pObs, sum("n").as("postings"), count(lit(1)).as("blocks"))
+      .write.mode("overwrite").parquet(postingsPath))
 
-    // per-term partials for this slice (df/cf merge additively on read)
-    tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-      .write.mode("overwrite").parquet(store.slicePath("terms", sliceId))
+    // per-term partials from the written postings (columnar agg over
+    // n/tfSum — never re-tokenizes the corpus)
+    phase("terms")(spark.read.parquet(postingsPath)
+      .groupBy("term")
+      .agg(sum("n").as("df"), sum("tfSum").as("cf"))
+      .write.mode("overwrite").parquet(store.slicePath("terms", sliceId)))
 
-    // norms: per-seg sorted docIDs + doclens
-    docMeta
+    // doc metadata: doclen via the counting kernel (no token arrays)
+    val docMeta = slice.select(col("doc_id"), col("url"),
+      ga.token_count(col("text")).as("doclen"), col("lang"))
+    // source order is already docID-clustered per input split; avoid a
+    // range shuffle (sampling would re-run the scan) and write directly
+    val dObs = org.apache.spark.sql.Observation()
+    phase("docs")(docMeta
+      .observe(dObs, count(lit(1)).as("docs"))
+      .write.mode("overwrite").parquet(store.slicePath("docs", sliceId)))
+
+    // norms from the written docs table (columnar scan, not raw text)
+    phase("norms")(spark.read.parquet(store.slicePath("docs", sliceId))
       .select(col("doc_id"), col("doclen"), (col("doc_id") / segSize).cast("int").as("seg"))
       .as[(Long, Int, Int)]
       .groupByKey(_._3)
@@ -175,19 +277,14 @@ object IndexBuilder {
           VByte.encode(VByte.deltasFrom(ds(0), ds)),
           VByte.packInts(entries.map(_._2)))
       }
-      .write.mode("overwrite").parquet(store.slicePath("norms", sliceId))
+      .write.mode("overwrite").parquet(store.slicePath("norms", sliceId)))
 
-    docMeta
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").parquet(store.slicePath("docs", sliceId))
-
-    // slice metrics for the manifest (lineage + row/byte counts)
-    val nDocs = spark.read.parquet(store.slicePath("docs", sliceId)).count()
-    val blockAgg = spark.read.parquet(postingsPath)
-      .agg(coalesce(sum("n"), lit(0L)), count(lit(1))).head()
-    val nPostings = blockAgg.getLong(0)
-    val nBlocks = blockAgg.getLong(1)
+    // slice metrics for the manifest (lineage + row/byte counts) come from
+    // the Observations attached to the writes — zero extra Spark jobs
+    val nDocs = dObs.get("docs").asInstanceOf[Long]
+    val pMetrics = pObs.get
+    val nPostings = Option(pMetrics("postings")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nBlocks = pMetrics("blocks").asInstanceOf[Long]
     val bytes = dirBytes(postingsPath)
     SliceMeta(sliceId, segLo, segHi, nDocs, nPostings, nBlocks, bytes,
       System.currentTimeMillis())

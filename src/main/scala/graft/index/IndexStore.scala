@@ -53,6 +53,62 @@ final class IndexStore(val root: String) {
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Replace the manifest with a single-slice view (compaction commit). */
+  private[index] def commitReplaceAll(meta: SliceMeta): Unit = {
+    Files.createDirectories(rootPath)
+    val tmp = rootPath.resolve(s"manifest.json.tmp")
+    Files.write(tmp, ManifestJson.render(Seq(meta)).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Segment-merge compaction — the `_forcemerge` analogue (reference
+    * opensearch_base_manager.py:379-387): rewrite all committed slices as
+    * one snapshot with postings globally sorted by (term, seg, blk), so a
+    * term's blocks are contiguous across the whole index and row-group
+    * min/max stats prune term lookups maximally. Slice contents are
+    * disjoint in (term, seg) — docID slices partition segments — so this
+    * is a re-layout, not a re-block. Commit is atomic via manifest rename;
+    * old slice files are removed best-effort afterwards.
+    */
+  def compact(spark: SparkSession): SliceMeta = {
+    import org.apache.spark.sql.functions.{col, count => cnt, lit, sum => fsum}
+    val old = committedSlices
+    require(old.nonEmpty, s"nothing to compact at $root")
+    val newId = old.map(_.sliceId).max + 1
+
+    readTable(spark, "postings")
+      .repartitionByRange(col("term"), col("seg"))
+      .sortWithinPartitions(col("term"), col("seg"), col("blk"))
+      .write.mode("overwrite").parquet(slicePath("postings", newId))
+    readTable(spark, "terms")
+      .groupBy("term")
+      .agg(fsum("df").as("df"), fsum("cf").as("cf"))
+      .write.mode("overwrite").parquet(slicePath("terms", newId))
+    readTable(spark, "norms")
+      .write.mode("overwrite").parquet(slicePath("norms", newId))
+    readTable(spark, "docs")
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(slicePath("docs", newId))
+
+    val nDocs = spark.read.parquet(slicePath("docs", newId)).count()
+    val agg = spark.read.parquet(slicePath("postings", newId))
+      .agg(fsum("n"), cnt(lit(1))).head()
+    val meta = SliceMeta(newId, old.map(_.segLo).min, old.map(_.segHi).max,
+      nDocs, agg.getLong(0), agg.getLong(1),
+      0L, System.currentTimeMillis())
+    commitReplaceAll(meta)
+    // best-effort cleanup of superseded slice files
+    old.foreach { s =>
+      Seq("postings", "terms", "norms", "docs").foreach { t =>
+        val p = Paths.get(slicePath(t, s.sliceId))
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+    meta
+  }
+
   def dropAll(): Unit = {
     if (Files.exists(rootPath)) {
       Files.walk(rootPath).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -22,6 +22,7 @@ case class PostingBlock(
     firstDoc: Long,
     lastDoc: Long,
     maxTfNorm: Double,     // max over block of BM25 tfNorm (exact doclen)
+    tfSum: Long,           // Σ tf in this block (cf derives without decode)
     docDeltas: Array[Byte],// VByte gaps; first gap is from firstDoc (== 0)
     tfs: Array[Byte])      // VByte term frequencies, aligned with docDeltas
 

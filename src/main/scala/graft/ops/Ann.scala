@@ -17,13 +17,26 @@ object Ann {
 
   /** Cosine similarity of two array<double> columns, computed in a fixed
     * sequential fold order (index ascending) for cross-engine parity.
+    * Uses the codegen'd DotProduct expression (graft.analysis).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.analysis.functions.dot(a, b) /
+      (sqrt(graft.analysis.functions.dot(a, a)) * sqrt(graft.analysis.functions.dot(b, b)))
+
+  /** Cosine with the norms precomputed per row (hoisted out of pair
+    * joins: dot(v,v) per vector once, not per pair — same arithmetic,
+    * same bits, ~3× less work on dense pair scans).
+    */
+  private def cosineHoisted(a: Column, normA: Column, b: Column, normB: Column): Column =
+    graft.analysis.functions.dot(a, b) / (normA * normB)
+
+  private def withNorm(df: DataFrame, idCol: String, idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).cast("long").as(idAs),
+      col("__vec").as(vecAs), col("__norm").as(vecAs + "_norm"))
+
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__vec"))
+      .withColumn("__norm", sqrt(graft.analysis.functions.dot(col("__vec"), col("__vec"))))
 
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` is expected to be small (it is broadcast); the big side
@@ -33,13 +46,12 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).cast("long").as("nbr_id"),
-      col(vecCol).cast("array<double>").as("v_c"))
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("v_q"))
+    val c = withNorm(prep(corpus, idCol, vecCol), idCol, "nbr_id", "v_c")
+    val q = withNorm(prep(queries, idCol, vecCol), idCol, "query_id", "v_q")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("v_q"), col("v_c")))
+      .withColumn("cosine",
+        cosineHoisted(col("v_q"), col("v_q_norm"), col("v_c"), col("v_c_norm")))
       .select("query_id", "nbr_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
@@ -113,13 +125,13 @@ object Ann {
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).cast("long").as("id_a"),
-      col(vecCol).cast("array<double>").as("v_a"))
-    val b = df.select(col(idCol).cast("long").as("id_b"),
-      col(vecCol).cast("array<double>").as("v_b"))
+    val p = prep(df, idCol, vecCol)
+    val a = withNorm(p, idCol, "id_a", "v_a")
+    val b = withNorm(p, idCol, "id_b", "v_b")
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine",
+        cosineHoisted(col("v_a"), col("v_a_norm"), col("v_b"), col("v_b_norm")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

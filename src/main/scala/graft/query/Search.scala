@@ -78,7 +78,8 @@ object Search {
     }
     // posting-list intersection (J2): iterative inner joins on docID
     val matched = perToken.reduce((a, b) => a.join(b, Seq("doc_id"), "inner"))
-    Some(matched.orderBy(col("doc_id")).limit(size))
+    val ordered = matched.orderBy(col("doc_id"))
+    Some(if (size == Int.MaxValue) ordered else ordered.limit(size))
   }
 
   /** Match-all browse with field sort (web/app.py:207-215). */

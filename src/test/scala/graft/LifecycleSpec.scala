@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.index.{IndexBuilder, IndexStore}
+import graft.ingest.FileIngest
+import graft.query.{OracleScorer, Wand}
+
+class LifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("compaction: single slice, identical postings, WAND still rank-identical") {
+    val docs = Corpus.pages(spark, 800)
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "url", "text", "lang")
+    val store = new IndexStore(Files.createTempDirectory("graft-compact-").toString)
+    IndexBuilder.build(spark, docs, store,
+      IndexBuilder.Config(segSize = 128, blockSize = 16, slices = 4))
+    assert(store.committedSlices.size == 4)
+
+    def dump() = store.open(spark).postings.collect()
+      .map(b => (b.term, b.seg, b.blk, b.docDeltas.toSeq, b.tfs.toSeq)).toSet
+    val before = dump()
+
+    val meta = store.compact(spark)
+    assert(store.committedSlices.size == 1)
+    assert(store.committedSlices.head.sliceId == meta.sliceId)
+    assert(dump() == before)
+
+    val idx = store.open(spark)
+    for (q <- Seq("the web crawl", "docmark42", "posting engine")) {
+      val wand = Wand.topK(spark, idx, q, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oracle = OracleScorer.topK(spark, docs, q, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wand == oracle, s"post-compaction rank identity broke for '$q'")
+    }
+  }
+
+  test("file ingestion: CSV + JSON parse, malformed quarantine, resume skip") {
+    val dir = Files.createTempDirectory("graft-ingest-").toString
+    val csv = s"$dir/a.csv"
+    val json = s"$dir/b.JSON" // case-insensitive extension
+    val badJson = s"$dir/c.json"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "id,name,value\n1,  alice  ,10.5\n2,bob,20.0\n1,alice2,11.0\n")
+    Files.writeString(java.nio.file.Paths.get(json),
+      """[{"id": 3, "name": "carol", "value": 30.0}, {"id": 4, "name": "dan", "value": 40.0}]""")
+    Files.writeString(java.nio.file.Paths.get(badJson), """{not valid json at all""")
+
+    val target = s"$dir/target"
+    val ledger = s"$dir/ledger"
+    val dlq = s"$dir/dlq"
+
+    val s1 = FileIngest.ingest(spark, Seq(csv, json, badJson), target, ledger, dlq)
+    // upsert: id=1 appears twice in the CSV → last row wins → 2 rows from csv
+    assert(s1.files.find(_.file == csv).get.status == "success")
+    assert(s1.files.find(_.file == json).get.status == "success")
+    assert(s1.processedRows == 4) // 2 csv (deduped) + 2 json
+    val rows = spark.read.parquet(target).collect()
+    assert(rows.length == 4)
+    // coercion applied: trimmed strings, numerics as double
+    val alice = spark.read.parquet(target).filter(col("id") === 1.0).head()
+    assert(alice.getAs[String]("name") == "alice2") // last write won
+    assert(s1.verified)
+    // malformed json: whole-file corrupt → quarantined or failed report
+    val badReport = s1.files.find(_.file == badJson).get
+    assert(badReport.status == "partial" || badReport.failedRows > 0 || badReport.status.startsWith("failed"))
+
+    // resume: everything in the ledger is skipped, nothing re-appended
+    val s2 = FileIngest.ingest(spark, Seq(csv, json), target, ledger, dlq, resume = true)
+    assert(s2.files.forall(_.status == "skipped"))
+    assert(spark.read.parquet(target).count() == 4)
+  }
+
+  test("indexed prefix search matches the brute-force prefix predicate") {
+    val docs = Corpus.pages(spark, 500)
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "url", "text", "lang")
+    val store = new IndexStore(Files.createTempDirectory("graft-prefix-").toString)
+    IndexBuilder.build(spark, docs, store, IndexBuilder.Config(segSize = 128, blockSize = 16))
+    val idx = store.open(spark)
+    val viaIndex = graft.query.Search
+      .prefixSearchIndexed(spark, idx, "cra eng", size = Int.MaxValue)
+      .get.collect().map(_.getLong(0)).toSet
+    val brute = graft.query.Search
+      .prefixSearch(docs, "text", "cra eng", size = Int.MaxValue)
+      .get.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == brute && viaIndex.nonEmpty)
+  }
+}
