@@ -105,6 +105,18 @@ object SparkEntry {
     "q_bm25_head_top100" -> ((s, d) => bm25(s, d, "the data web", 100)),
     "q_bm25_rare_top10" -> ((s, d) => bm25(s, d, "dup", 10)),
 
+    // J4: hit materialization — scored docIDs broadcast-joined to stored fields
+    "q_bm25_hits" -> ((s, d) =>
+      Search.relevance(s, indexFor(s, d), "spark index dup", k = 10)
+        .select(col("doc_id"), col("lang"), col("doclen"), round(col("score"), 4).as("score"))),
+
+    // F5: autocomplete label projection over prefix matches
+    "q_autocomplete_label" -> ((s, d) =>
+      Search.prefixSearch(tbl(s, d, "documents"), "text", "spa sca", size = Int.MaxValue)
+        .get.orderBy(col("doc_id")).limit(10)
+        .select(col("doc_id"),
+          concat(col("source"), lit(" ("), col("doc_id"), lit(")")).as("label"))),
+
     // ---- A5/A6: postings + stats decoded from the compressed index ----
     "q_postings" -> ((s, d) => {
       import s.implicits._
@@ -246,6 +258,20 @@ object SparkEntry {
     "q_bm25_mixed_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_head_top100" -> bm25Sql(Seq("the", "data", "web"), 100),
     "q_bm25_rare_top10" -> bm25Sql(Seq("dup"), 10),
+
+    "q_bm25_hits" -> {
+      val inner = bm25Sql(Seq("spark", "index", "dup"), 10)
+      s"""SELECT t.doc_id, d.lang,
+         |  len(regexp_extract_all(lower(d.text), '[\\p{L}\\p{N}]+')) AS doclen, t.score
+         | FROM ($inner) t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin
+    },
+
+    "q_autocomplete_label" ->
+      s"""SELECT doc_id, source || ' (' || doc_id || ')' AS label
+         | FROM (SELECT doc_id, source, $tokSql AS toks FROM documents)
+         | WHERE list_bool_and(list_transform(['spa', 'sca'],
+         |   p -> len(list_filter(toks, t -> t LIKE p || '%')) > 0))
+         | ORDER BY doc_id LIMIT 10""".stripMargin,
 
     "q_postings" ->
       s"""SELECT term, doc_id, count(*) AS tf

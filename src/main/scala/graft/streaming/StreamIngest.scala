@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface.
+  *
+  * The reference is strictly batch (SURVEY.md §2.9: full/delta load only),
+  * and the inverted-index build stays batch+resumable by design — exact
+  * BM25 block-max metadata depends on corpus-global avgdl, so postings are
+  * built from committed document slices, not open-ended streams. What
+  * streaming covers here is the front of the pipeline:
+  *
+  *  - `docStream`: micro-batch document staging — coercion + append to the
+  *    staging table + per-batch ledger, via foreachBatch. Sliced index
+  *    builds then consume the staging table (resume skips built slices).
+  *  - `eventCounts`: watermarked windowed aggregation over an event
+  *    stream (the standard readStream → window → agg shape).
+  */
+object StreamIngest {
+
+  /** Stream parquet files from `srcDir` into a staging table with
+    * coercion and a per-batch ledger row. Returns the running query;
+    * callers use `processAllAvailable()` for synchronous batch drains.
+    */
+  def docStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      stagingPath: String,
+      ledgerPath: String,
+      checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val coerced = graft.ingest.Coerce.documents(batch)
+        val n = coerced.count()
+        if (n > 0) {
+          coerced.write.mode("append").parquet(stagingPath)
+          Seq((batchId, n)).toDF("batch_id", "rows")
+            .write.mode("append").parquet(ledgerPath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked sliding-window event aggregation:
+    * counts + value sums per (window, event_type).
+    */
+  def eventCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}
