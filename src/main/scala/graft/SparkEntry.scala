@@ -122,8 +122,8 @@ object SparkEntry {
       import s.implicits._
       indexFor(s, d).postings.flatMap { b =>
         val docs = graft.index.VByte.undeltas(b.firstDoc,
-          graft.index.VByte.decode(b.docDeltas, b.n))
-        val tfs = graft.index.VByte.decode(b.tfs, b.n)
+          graft.index.Codecs.decode(b.codec, b.docDeltas, b.n))
+        val tfs = graft.index.Codecs.decode(b.codec, b.tfs, b.n)
         docs.indices.map(i => (b.term, docs(i), tfs(i)))
       }.toDF("term", "doc_id", "tf")
     }),

@@ -43,7 +43,8 @@ object IndexBuilder {
   case class Config(
       segSize: Int = 1 << 16,
       blockSize: Int = 128,
-      slices: Int = 1)
+      slices: Int = 1,
+      codec: String = "pfor") // "pfor" (PForDelta, default) or "vbyte"
 
   case class BuildReport(
       slicesBuilt: Int,
@@ -137,6 +138,7 @@ object IndexBuilder {
     import spark.implicits._
     val segSize = cfg.segSize.toLong
     val blockSize = cfg.blockSize
+    val codec = Codecs.of(cfg.codec)
 
     // per-doc term frequencies: pure per-row work (a doc's tokens never
     // cross rows), emitted directly — no (term, docId) shuffle exists.
@@ -200,9 +202,9 @@ object IndexBuilder {
             }
             val docsArr = java.util.Arrays.copyOf(ds, n)
             val b = PostingBlock(curTerm, curSeg, blk, n, docsArr(0), docsArr(n - 1),
-              maxNorm, tfSum,
-              VByte.encode(VByte.deltasFrom(docsArr(0), docsArr)),
-              VByte.encode(java.util.Arrays.copyOf(fs, n)))
+              maxNorm, tfSum, codec,
+              Codecs.encode(codec, VByte.deltasFrom(docsArr(0), docsArr)),
+              Codecs.encode(codec, java.util.Arrays.copyOf(fs, n)))
             blk += 1
             n = 0
             b

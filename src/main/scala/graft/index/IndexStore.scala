@@ -130,13 +130,17 @@ final class IndexStore(val root: String) {
   def open(spark: SparkSession): OpenIndex = {
     import spark.implicits._
     val postings = readTable(spark, "postings").as[PostingBlock]
-    val norms = readTable(spark, "norms").as[SegNorms]
+    // norms and term stats are tiny relative to postings (one row per seg /
+    // per distinct term); cache them so per-query idf lookups and the
+    // seg-cogroup probe side don't re-scan parquet on every search
+    val norms = readTable(spark, "norms").as[SegNorms].cache()
     // per-slice partial term stats merge to global df/cf (slices partition
     // docs, so per-term partials are additive)
     val terms = readTable(spark, "terms")
       .groupBy("term")
       .agg(sum("df").as("df"), sum("cf").as("cf"))
       .as[TermStat]
+      .cache()
     val docs = readTable(spark, "docs")
     val slices = committedSlices
     OpenIndex(this, postings, norms, terms, docs, slices)

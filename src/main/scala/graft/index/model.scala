@@ -23,8 +23,9 @@ case class PostingBlock(
     lastDoc: Long,
     maxTfNorm: Double,     // max over block of BM25 tfNorm (exact doclen)
     tfSum: Long,           // Σ tf in this block (cf derives without decode)
-    docDeltas: Array[Byte],// VByte gaps; first gap is from firstDoc (== 0)
-    tfs: Array[Byte])      // VByte term frequencies, aligned with docDeltas
+    codec: Byte,           // Codecs.VB (VByte) or Codecs.PFOR (PForDelta)
+    docDeltas: Array[Byte],// encoded gaps; first gap is from firstDoc (== 0)
+    tfs: Array[Byte])      // encoded term frequencies, aligned with docDeltas
 
 /** Per-segment document norms: sorted docIDs (delta+VByte) + doclens. */
 case class SegNorms(
@@ -64,8 +65,8 @@ private[graft] final class TermPostings(
 
   private def loadBlock(i: Int): Unit = {
     val b = blocks(i)
-    docs = VByte.undeltas(b.firstDoc, VByte.decode(b.docDeltas, b.n))
-    tfsArr = VByte.decode(b.tfs, b.n)
+    docs = VByte.undeltas(b.firstDoc, Codecs.decode(b.codec, b.docDeltas, b.n))
+    tfsArr = Codecs.decode(b.codec, b.tfs, b.n)
     pos = 0
     blockIdx = i
   }

@@ -71,7 +71,7 @@ object Search {
       index.postings
         .filter(col("term") >= lit(p) && col("term") < lit(p + '￿'))
         .flatMap { b =>
-          graft.index.VByte.undeltas(b.firstDoc, graft.index.VByte.decode(b.docDeltas, b.n))
+          graft.index.VByte.undeltas(b.firstDoc, graft.index.Codecs.decode(b.codec, b.docDeltas, b.n))
         }
         .toDF("doc_id")
         .distinct()

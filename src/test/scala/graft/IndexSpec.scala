@@ -25,8 +25,8 @@ class IndexSpec extends AnyFunSuite {
     val idx = store.open(spark)
 
     val decoded = idx.postings.flatMap { b =>
-      val ds = VByte.undeltas(b.firstDoc, VByte.decode(b.docDeltas, b.n))
-      val fs = VByte.decode(b.tfs, b.n)
+      val ds = VByte.undeltas(b.firstDoc, Codecs.decode(b.codec, b.docDeltas, b.n))
+      val fs = Codecs.decode(b.codec, b.tfs, b.n)
       ds.indices.map(i => (b.term, ds(i), fs(i)))
     }.collect().toSet
 
@@ -67,14 +67,14 @@ class IndexSpec extends AnyFunSuite {
     val normsBySeg = idx.norms.collect().map(n => n.seg -> n).toMap
     idx.postings.collect().foreach { b =>
       assert(b.n <= 16 && b.n > 0)
-      val ds = VByte.undeltas(b.firstDoc, VByte.decode(b.docDeltas, b.n))
+      val ds = VByte.undeltas(b.firstDoc, Codecs.decode(b.codec, b.docDeltas, b.n))
       assert(ds.toSeq == ds.sorted.toSeq)
       assert(ds.head == b.firstDoc && ds.last == b.lastDoc)
       assert(ds.forall(d => (d / 128).toInt == b.seg))
       // block-max: recompute tfNorm of each entry with exact doclen
       val nm = normsBySeg(b.seg)
       val nd = VByte.undeltas(nm.firstDoc, VByte.decode(nm.docDeltas, nm.n))
-      val fs = VByte.decode(b.tfs, b.n)
+      val fs = Codecs.decode(b.codec, b.tfs, b.n)
       val maxNorm = ds.zip(fs).map { case (d, f) =>
         val dl = VByte.unpackIntAt(nm.doclens, java.util.Arrays.binarySearch(nd, d))
         BM25.tfNorm(f, dl.toLong, avgdl)

@@ -89,4 +89,63 @@ class LifecycleSpec extends AnyFunSuite {
       .get.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaIndex == brute && viaIndex.nonEmpty)
   }
+
+  test("head-term skew: ubiquitous term still builds bounded groups") {
+    import spark.implicits._
+    // every doc contains "the" (df = N): the worst-case head term
+    val docs = (0L until 512L).toDF("doc_id")
+      .withColumn("url", concat(lit("doc://"), col("doc_id")))
+      .withColumn("text", concat(lit("the filler"), (col("doc_id") % 7).cast("string")))
+      .withColumn("lang", lit("en"))
+    val store = new IndexStore(Files.createTempDirectory("graft-skew-").toString)
+    IndexBuilder.build(spark, docs, store,
+      IndexBuilder.Config(segSize = 64, blockSize = 16))
+    val idx = store.open(spark)
+    val theBlocks = idx.postings.filter(col("term") === "the").collect()
+    // seg salt bounds every (term, seg) group: 512 docs / segSize 64 = 8 segs
+    assert(theBlocks.map(_.seg).distinct.length == 8)
+    assert(theBlocks.forall(_.n <= 16))
+    assert(theBlocks.map(_.n.toLong).sum == 512L) // df preserved
+    val df = idx.terms.filter(col("term") === "the").head().df
+    assert(df == 512L)
+  }
+
+  test("zero-downtime pipeline: reindex -> guarded alias switch -> switch back") {
+    import graft.ingest.{Guardrails, Reindex}
+    import graft.index.AliasCatalog
+    val base = Files.createTempDirectory("graft-zd-").toString
+    val primary = s"$base/idx_primary"
+    val secondary = s"$base/idx_secondary"
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, s"doc$i")).toDF("id", "body")
+      .write.parquet(primary)
+
+    val cat = new AliasCatalog(s"$base/aliases")
+    cat.set("live", primary)
+
+    // step 1: reindex primary -> secondary (reference reindex.py flow)
+    val copied = Reindex.copy(spark, primary, secondary)
+    assert(copied == 100)
+
+    // step 2: guarded switch to secondary (reference switch_alias.py flow)
+    val srcCount = spark.read.parquet(cat.resolve("live").get).count()
+    val tgtCount = spark.read.parquet(secondary).count()
+    assert(Guardrails.validateSwitch("idx_primary", "idx_secondary",
+      srcCount, tgtCount) == Guardrails.Proceed)
+    cat.set("live", secondary)
+    assert(cat.resolve("live").contains(secondary))
+
+    // step 3: mutate primary (the "bulkupdate" step), then switch back
+    (101 to 105).map(i => (i.toLong, s"doc$i")).toDF("id", "body")
+      .write.mode("append").parquet(primary)
+    val back = Guardrails.validateSwitch("idx_secondary", "idx_primary",
+      spark.read.parquet(secondary).count(), spark.read.parquet(primary).count())
+    assert(back == Guardrails.Proceed) // 5% drift < 10% threshold
+    cat.set("live", primary)
+    assert(spark.read.parquet(cat.resolve("live").get).count() == 105)
+
+    // guardrail: a drifted target must abort the switch
+    val drifted = Guardrails.validateSwitch("a", "b", 105, 50)
+    assert(drifted.isInstanceOf[Guardrails.Abort])
+  }
 }
