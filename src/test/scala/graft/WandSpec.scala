@@ -75,4 +75,29 @@ class WandSpec extends AnyFunSuite {
     val got = h.result().sortBy(_._1).toSeq
     assert(got == Seq((1L, 1.0), (5L, 1.0)))
   }
+
+  test("rank identity at 20k docs with aggressive block skipping") {
+    val bigDocs = Corpus.pages(spark, 20000)
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "url", "text", "lang")
+      .cache()
+    val store = new IndexStore(Files.createTempDirectory("graft-wand-big-").toString)
+    IndexBuilder.build(spark, bigDocs, store,
+      IndexBuilder.Config(segSize = 1024, blockSize = 64, slices = 3))
+    val idx = store.open(spark)
+    // randomized query shapes from the vocabulary (seeded)
+    val rnd = new scala.util.Random(13)
+    val vocab = Corpus.vocabulary
+    val randomQueries = (1 to 6).map { _ =>
+      (1 to (1 + rnd.nextInt(4))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    for (q <- randomQueries ++ Seq("the of and to a", "docmark19999"); k <- Seq(10, 100)) {
+      val wand = Wand.topK(spark, idx, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oracle = OracleScorer.topK(spark, bigDocs, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wand == oracle, s"query='$q' k=$k")
+    }
+    bigDocs.unpersist()
+  }
 }
