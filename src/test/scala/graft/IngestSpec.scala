@@ -103,4 +103,24 @@ class IngestSpec extends AnyFunSuite {
     Seq.empty[(Int, String)].toDF("k", "v").write.parquet(empty)
     intercept[IllegalArgumentException] { Reindex.copy(spark, empty, tgt) }
   }
+
+  test("bulk NDJSON shape parity (reference test_file_processor.py:182-212)") {
+    import spark.implicits._
+    import graft.ingest.BulkFormat
+    val df = Seq(("doc1", "alice", 10.5), (null, "bob", 20.0))
+      .toDF("id", "name", "value")
+    val entries = BulkFormat.toBulkNdjson(df, "members").collect().sorted
+    // with id: action line carries _id; without: plain index action
+    val withId = entries.find(_.contains("alice")).get.split("\n")
+    assert(withId(0) == """{"index": {"_index": "members", "_id": "doc1"}}""")
+    assert(withId(1).contains(""""name":"alice""""))
+    val noId = entries.find(_.contains("bob")).get.split("\n")
+    assert(noId(0) == """{"index": {"_index": "members"}}""")
+    // batching: 5 docs at batchSize 2 -> 3 batches (one partition)
+    val batched = BulkFormat.toBatches(
+      BulkFormat.toBulkNdjson(df.union(df).union(df.limit(1)).coalesce(1), "m"),
+      batchSize = 2).collect()
+    assert(batched.length == 3)
+    assert(batched.map(_.count(_ == '\n') + 1).sum == 10) // 5 docs x 2 lines
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.{functions => ga}
+
+/** Plan-quality regression guards: the scale properties the engine
+  * depends on must be visible in the physical plan, not assumed.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan(spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang")).filter(col("lang") === "en"))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val p = plan(spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p)
+    assert(!p.contains("text"), "text column must not be read")
+  }
+
+  test("term lookup pushes IN-filter into the postings scan") {
+    val idx = SparkEntry.indexFor(spark, sf)
+    val p = plan(idx.postings.filter(col("term").isin("spark", "dup")).toDF())
+    assert(p.contains("In(term, [dup,spark])"), p)
+  }
+
+  test("tf pipeline: partial aggregation before the exchange, tokenize in codegen") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(ga.tokenize(col("text"))).as("term"))
+      .groupBy("term").count()
+    df.collect() // finalize THIS queryExecution (count() would build a new one)
+    val p = plan(df)
+    assert(p.contains("partial_count"), s"map-side combine missing:\n$p")
+    assert(p.contains("graft_tokenize"), p)
+    assert(p.contains("*("), s"whole-stage codegen markers missing:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan(spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(col("n_chars").desc).limit(10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("hit materialization broadcasts the tiny scored side") {
+    val idx = SparkEntry.indexFor(spark, sf)
+    val hits = graft.query.Search.relevance(spark, idx, "spark dup", k = 5)
+    val p = plan(hits)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
