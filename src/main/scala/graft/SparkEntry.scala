@@ -202,6 +202,12 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
     }),
 
+    "q_ann_ivf_topk" -> ((s, d) => { // no SQL oracle: k-means quantizer
+      val emb = tbl(s, d, "embeddings")
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 4), k = 10, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("nbr_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    }),
+
     "q_emb_near_dup" -> ((s, d) =>
       Ann.nearDupPairs(tbl(s, d, "embeddings"), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),

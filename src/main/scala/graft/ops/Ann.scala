@@ -119,6 +119,118 @@ object Ann {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** Deterministic k-means coarse quantizer for IVF: trains on a bounded
+    * sample (first `trainCap` by id — deterministic), L2-normalized so
+    * euclidean cells align with cosine similarity. Returns centroids.
+    */
+  def trainIvfCentroids(df: DataFrame, nCells: Int, iters: Int = 8,
+      seed: Long = 42L, trainCap: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = df.orderBy(col(idCol)).limit(trainCap)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      v.map(_ * inv)
+    }
+    val data = sample.map(normalize)
+    val k = math.min(nCells, data.length)
+    // seeded distinct-index init
+    var centroids = {
+      val picked = scala.collection.mutable.LinkedHashSet.empty[Int]
+      var s = seed
+      while (picked.size < k) {
+        s = Hash64.splitmix64(s)
+        picked += math.floorMod(s, data.length.toLong).toInt
+      }
+      picked.toArray.map(i => data(i).clone())
+    }
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](data(0).length))
+      val counts = new Array[Int](k)
+      data.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells stable
+        else normalize(sums(c).map(_ / counts(c)))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN: assign corpus vectors to their nearest centroid cell, probe
+    * the `nProbe` nearest cells per query, rank by exact cosine within the
+    * probed cells. The cell assignment is the partition key at scale —
+    * queries touch nProbe/nCells of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, nCells, seed = seed,
+      idCol = idCol, vecCol = vecCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellOf = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var s = 0.0; v.foreach(x => s += x * x)
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      val n = v.map(_ * inv).toArray
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < n.length) { val x = n(i) - cs(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val probesOf = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var s = 0.0; v.foreach(x => s += x * x)
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      val n = v.map(_ * inv).toArray
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < n.length) { val x = n(i) - cs(c)(i); d += x * x; i += 1 }
+        (d, c)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val c = withNorm(prep(corpus, idCol, vecCol), idCol, "nbr_id", "v_c")
+      .withColumn("cell", cellOf(col("v_c")))
+    val q = withNorm(prep(queries, idCol, vecCol), idCol, "query_id", "v_q")
+      .withColumn("cell", explode(probesOf(col("v_q"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    c.join(broadcast(q), "cell")
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineHoisted(col("v_q"), col("v_q_norm"), col("v_c"), col("v_c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     * Exact quadratic form for oracle parity; the scale path buckets by
     * LSH first (`lshNearDupPairs`).

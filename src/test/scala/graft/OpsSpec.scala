@@ -137,4 +137,52 @@ class OpsSpec extends AnyFunSuite {
     val allIds = a.map(_._2).sorted
     assert(allIds == (0L until 500L).toSeq) // dense permutation
   }
+
+  test("multimodal: real container headers parsed (PNG/JPEG/GIF/WAV)") {
+    import Multimodal.MediaHeaders
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR length/type + width=640, height=480
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++ bytes(
+      0, 0, 2, 0x80, /*640*/ 0, 0, 1, 0xE0 /*480*/, 8, 6, 0, 0, 0)
+    assert(MediaHeaders.sniff(png).contains(("image/png", 640, 480, 0)))
+    // JPEG: SOI + APP0 (len 16) + SOF0 (precision, h=480, w=640)
+    val jpeg = bytes(0xff, 0xd8, 0xff, 0xe0, 0, 16) ++ new Array[Byte](14) ++
+      bytes(0xff, 0xc0, 0, 17, 8, 1, 0xE0 /*h=480*/, 2, 0x80 /*w=640*/, 3)
+    assert(MediaHeaders.sniff(jpeg).contains(("image/jpeg", 640, 480, 0)))
+    // GIF89a: 320 x 200 little-endian
+    val gif = "GIF89a".getBytes ++ bytes(0x40, 0x01, 0xC8, 0x00)
+    assert(MediaHeaders.sniff(gif).contains(("image/gif", 320, 200, 0)))
+    // WAV: RIFF size 36 + 32000 data bytes, byteRate 16000 -> 2000 ms
+    val wav = "RIFF".getBytes ++ bytes(0x24 + 0, 0x7D, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0, 1, 0, 1, 0,
+        0x80, 0x3E, 0, 0 /*16000 sampleRate*/, 0x80, 0x3E, 0, 0 /*byteRate 16000*/,
+        2, 0, 16, 0) ++ "data".getBytes ++ bytes(0, 0x7D, 0, 0)
+    val sniffed = MediaHeaders.sniff(wav)
+    assert(sniffed.exists(_._1 == "audio/wav"))
+    assert(sniffed.exists(_._4 == ((0x7D00 + 0x24 - 36) * 1000L / 16000).toInt))
+    // garbage → None (falls back to the stub path)
+    assert(MediaHeaders.sniff("not an image".getBytes).isEmpty)
+    // end-to-end through the pipeline: kind comes from the real header
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "blob", png)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats(0).kind == "image/png" && feats(0).width == 640 && feats(0).height == 480)
+  }
+
+  test("ANN IVF: deterministic training, high recall vs brute force") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val c1 = Ann.trainIvfCentroids(emb, nCells = 16)
+    val c2 = Ann.trainIvfCentroids(emb, nCells = 16)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq) // deterministic training
+    val ivf = Ann.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 6)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val brute = Ann.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall too low") // nProbe 6/16 cells
+    assert(ivf.size == brute.size)
+  }
 }
