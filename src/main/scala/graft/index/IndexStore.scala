@@ -165,6 +165,22 @@ case class OpenIndex(
     docs: DataFrame,
     slices: Seq[SliceMeta]) {
   lazy val stats: IndexStats = store.stats(docs.sparkSession)
+
+  /** Norms broadcast for the low-latency query path: collected once per
+    * open index when the segment count is modest (norms are ~5 bytes/doc;
+    * 4096 segs of 64Ki docs ≈ 1.3 GB corpus-side but only the doclen
+    * payload travels). Indexes beyond the threshold fall back to the
+    * cogroup path — at 10^12 docs the norms table is executor-side state,
+    * not driver-broadcastable.
+    */
+  lazy val normsBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Int, SegNorms]]] = {
+    val spark = docs.sparkSession
+    val maxSegs = spark.conf.getOption("graft.query.broadcastNormsMaxSegs")
+      .map(_.toInt).getOrElse(4096)
+    if (norms.count() <= maxSegs)
+      Some(spark.sparkContext.broadcast(norms.collect().map(n => n.seg -> n).toMap))
+    else None
+  }
 }
 
 /** Minimal hand-rolled JSON for the manifest (flat schema, no deps). */

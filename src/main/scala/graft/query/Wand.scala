@@ -47,17 +47,28 @@ object Wand {
     val terms = present.keys.toSeq.sorted
 
     val qBlocks = index.postings.filter(col("term").isin(terms: _*))
-    val hits = qBlocks
-      .groupByKey(_.seg)
-      .cogroup(index.norms.groupByKey(_.seg)) { (seg, blocks, norms) =>
-        val blockArr = blocks.toArray
-        if (blockArr.isEmpty) Iterator.empty
-        else {
-          val normArr = norms.toArray
-          segTopK(blockArr, normArr, idfs, avgdl, k).iterator
-        }
-      }
-      .toDF("doc_id", "score")
+    val hits = index.normsBroadcast match {
+      case Some(bc) =>
+        // low-latency path: one shuffle (blocks by seg); norms via broadcast
+        qBlocks
+          .groupByKey(_.seg)
+          .flatMapGroups { (seg: Int, blocks: Iterator[PostingBlock]) =>
+            val blockArr = blocks.toArray
+            if (blockArr.isEmpty) Iterator.empty
+            else segTopK(blockArr, Array(bc.value(seg)), idfs, avgdl, k).iterator
+          }
+          .toDF("doc_id", "score")
+      case None =>
+        // scale path: norms too large to broadcast — cogroup by segment
+        qBlocks
+          .groupByKey(_.seg)
+          .cogroup(index.norms.groupByKey(_.seg)) { (seg, blocks, norms) =>
+            val blockArr = blocks.toArray
+            if (blockArr.isEmpty) Iterator.empty
+            else segTopK(blockArr, norms.toArray, idfs, avgdl, k).iterator
+          }
+          .toDF("doc_id", "score")
+    }
 
     hits.orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }

@@ -100,4 +100,20 @@ class WandSpec extends AnyFunSuite {
     }
     bigDocs.unpersist()
   }
+
+  test("broadcast-norms fast path and cogroup scale path are rank-identical") {
+    val store = index.store
+    val sCogroup = spark.newSession()
+    sCogroup.conf.set("graft.query.broadcastNormsMaxSegs", "0") // force cogroup
+    val idxCogroup = store.open(sCogroup)
+    assert(idxCogroup.normsBroadcast.isEmpty)
+    assert(index.normsBroadcast.isDefined) // default path broadcasts
+    for (q <- Seq("the web crawl", "docmark42", "the of and")) {
+      val fast = Wand.topK(spark, index, q, 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val scale = Wand.topK(sCogroup, idxCogroup, q, 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fast == scale, s"path divergence for '$q'")
+    }
+  }
 }
