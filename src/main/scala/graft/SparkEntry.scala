@@ -284,14 +284,17 @@ object SparkEntry {
          | FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
          | GROUP BY term, doc_id""".stripMargin,
 
+    // NOTE: integer sum() in DuckDB yields HUGEINT, which the driver's
+    // pandas materialization turns into float64 ('3500.0' vs '3500') —
+    // every integer aggregate below is cast ::BIGINT for hash parity.
     "q_term_stats" ->
-      s"""SELECT term, count(*) AS df, sum(tf) AS cf FROM (
+      s"""SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf FROM (
          |  SELECT doc_id, term, count(*) AS tf
          |  FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)
          |  GROUP BY doc_id, term) GROUP BY term""".stripMargin,
 
     "q_corpus_stats" ->
-      s"""SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl) AS total_tokens
+      s"""SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl, sum(dl)::BIGINT AS total_tokens
          | FROM (SELECT doc_id, len($tokSql) AS dl FROM documents)""".stripMargin,
 
     "q_upsert_lww" ->

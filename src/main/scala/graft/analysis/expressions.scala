@@ -20,24 +20,40 @@ case class Tokenize(child: Expression)
   override def prettyName: String = "graft_tokenize"
 
   override def nullSafeEval(input: Any): Any =
-    Tokenize.eval(input.asInstanceOf[UTF8String])
+    Kernels.tokenizeUtf8(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.analysis.Tokenize.eval($c);")
+      s"${ev.value} = graft.analysis.Kernels.tokenizeUtf8($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
     copy(child = newChild)
 }
 
-object Tokenize {
-  /** Static entry point shared by interpreted + codegen paths. */
-  def eval(s: UTF8String): ArrayData = {
+/** Static kernels shared by the interpreted and codegen paths.
+  *
+  * Deliberately NOT a companion of any expression case class: Scala emits
+  * no static forwarders when a companion class exists (the instance
+  * `eval(InternalRow)` shadows them), so generated Java calling
+  * `Tokenize.eval(...)` failed Janino compilation and Spark silently fell
+  * back to interpreter mode — codegen only works against a standalone
+  * object like this one.
+  */
+object Kernels {
+  def tokenizeUtf8(s: UTF8String): ArrayData = {
     val toks = Analyzer.tokenize(s.toString)
     val out = new Array[AnyRef](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
   }
 }
 
@@ -72,24 +88,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.analysis.DotProduct.eval($a, $b);")
+      s"${ev.value} = graft.analysis.Kernels.dot($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
-}
-
-object DotProduct {
-  def eval(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
-  }
 }
 
 /** Column-level API for the analysis expressions. Inputs are cast to

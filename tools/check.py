@@ -13,6 +13,17 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+def pandas_rows(rel):
+    """Materialize a DuckDB relation the way the driver does: through
+    pandas. This preserves the driver's type artifacts (e.g. HUGEINT ->
+    float64, so sum(BIGINT) reprs as '3500.0'), which fetchall() hides."""
+    df = rel.df()
+    cols = [c.lower() for c in df.columns]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append(tuple(v.item() if hasattr(v, "item") else v for v in tup))
+    return rows, cols
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -28,15 +39,11 @@ fails = 0
 for name in sorted(json.load(open(f"{out_dir}/oracle_sql.json"))):
     sql = oracle[name]
     try:
-        ores = con.sql(sql)
-        ocols = [c.lower() for c in ores.columns]
-        orows = ores.fetchall()
+        orows, ocols = pandas_rows(con.sql(sql))
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
     try:
-        sres = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        scols = [c.lower() for c in sres.columns]
-        srows = sres.fetchall()
+        srows, scols = pandas_rows(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
     except Exception as e:
         print(f"FAIL {name}: spark output missing {e}"); fails += 1; continue
     if sorted(ocols) != sorted(scols):
