@@ -99,14 +99,37 @@ object Bench {
     val pair = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "1,4")
       .split(",").map(_.trim.toInt)
     val (nCores, n4Cores) = (pair(0), pair(1))
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val runs = (1 to reps).flatMap(_ =>
-      Seq(nCores, n4Cores).map(c => c -> buildThroughput(c, benchDocs)))
-    val dpsN = runs.collect { case (`nCores`, d) => d }.max
-    val dps4N = runs.collect { case (`n4Cores`, d) => d }.max
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+    val maxExtraPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
+
+    // JIT warmup: the first Spark build in a JVM is ~2x slower; burn the
+    // compile cost on an unmeasured small run so no measured run eats it
+    buildThroughput(n4Cores, math.min(benchDocs, 50000L))
+
+    val series = Map(nCores -> scala.collection.mutable.ArrayBuffer.empty[Double],
+      n4Cores -> scala.collection.mutable.ArrayBuffer.empty[Double])
+    def runPair(): Unit =
+      Seq(nCores, n4Cores).foreach(c => series(c) += buildThroughput(c, benchDocs))
+    (1 to reps).foreach(_ => runPair())
+    // Under the host's one-sided degradation noise, max-of-runs is the
+    // estimator — but a max must be corroborated: keep adding interleaved
+    // pairs until the two best runs of each level agree within 25%, so a
+    // single lucky (or single degraded) run can never decide the ratio.
+    def corroborated(c: Int): Boolean = {
+      val top = series(c).sorted(Ordering[Double].reverse)
+      top.size >= 2 && top(0) / top(1) <= 1.25
+    }
+    var extra = 0
+    while (extra < maxExtraPairs && !(corroborated(nCores) && corroborated(n4Cores))) {
+      runPair()
+      extra += 1
+    }
+    val dpsN = series(nCores).max
+    val dps4N = series(n4Cores).max
     val efficiency = (dps4N / dpsN) / (n4Cores.toDouble / nCores)
     // absolute throughput at full width (the wall-clock number)
     val dpsFull = buildThroughput(cpus, benchDocs)
+    def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -115,6 +138,7 @@ object Bench {
         s""""query_latency_ms":{"p50":${fmt(p50)},"p95":${fmt(p95)}},""" +
         s""""index_build":{"bench_docs":$benchDocs,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
         s""""docs_per_sec_n":${fmt(dpsN)},"docs_per_sec_4n":${fmt(dps4N)},""" +
+        s""""runs_n":${arr(series(nCores).toSeq)},"runs_4n":${arr(series(n4Cores).toSeq)},""" +
         s""""docs_per_sec_local$cpus":${fmt(dpsFull)},""" +
         s""""scaling_efficiency_n_to_4n":${fmt(efficiency)}}}""")
   }

@@ -72,6 +72,28 @@ object SparkEntry {
 
   private val tokSql = "regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')"
 
+  private lazy val ngramJaccardSql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(t) - 2, 1)),
+       |    i -> CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+       |              ELSE t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] END)) AS s
+       |  FROM (SELECT doc_id, $tokSql AS t FROM documents) WHERE len(t) > 0),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+       |  SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jac
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
+       | WHERE jac >= 0.5""".stripMargin
+
+  private lazy val embNearDupSql =
+    """SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+      |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) WHERE cos >= 0.4""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S: scans / projections (SURVEY §2.1-2.2) ----
     "q_scan_project" -> ((s, d) =>
@@ -81,6 +103,35 @@ object SparkEntry {
     "q_coerce" -> ((s, d) =>
       Coerce.documents(tbl(s, d, "events")
         .select(col("event_id"), col("event_type"), col("value"), col("props")))),
+
+    // mapping-type coercion (date/boolean/ip/geo_point) over strings
+    // derived from events — exercises the reference's type table
+    // (data_ingestion_requirements.md:104-123) end to end
+    "q_coerce_typed" -> ((s, d) => {
+      val raw = tbl(s, d, "events").select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts_str"),
+        when(col("event_id") % 3 === 0, lit("TRUE"))
+          .when(col("event_id") % 3 === 1, lit("false"))
+          .otherwise(lit("maybe")).as("flag_str"),
+        concat(lit("10."), col("user_id") % 256, lit("."), col("event_id") % 256, lit("."),
+          when(col("event_id") % 7 === 0, lit("999"))
+            .otherwise((col("event_id") % 200).cast("string"))).as("ip_str"),
+        concat(col("user_id") % 90, lit(".5,"), col("event_id") % 180, lit(".25")).as("geo_str"))
+      val typed = Coerce.withMapping(raw, Map(
+        "event_id" -> Coerce.LongField,
+        "ts_str" -> Coerce.DateField,
+        "flag_str" -> Coerce.BooleanField,
+        "ip_str" -> Coerce.IpField,
+        "geo_str" -> Coerce.GeoPointField))
+      typed.select(
+        col("event_id"),
+        date_format(col("ts_str"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"),
+        col("flag_str").as("flag"),
+        col("ip_str").as("ip"),
+        col("geo_str.lat").as("lat"),
+        col("geo_str.lon").as("lon"))
+    }),
 
     // ---- P: term / prefix / match-all query surface (§2.2) ----
     "q_term_filter" -> ((s, d) =>
@@ -93,6 +144,13 @@ object SparkEntry {
     "q_prefix_autocomplete" -> ((s, d) =>
       Search.prefixSearch(
         tbl(s, d, "documents"), "text", "spa sca", size = Int.MaxValue)
+        .get.orderBy(col("doc_id")).limit(10).select(col("doc_id"))),
+
+    // fields:["*"] autocomplete: 'src' only matches via the source column
+    "q_prefix_all_fields" -> ((s, d) =>
+      Search.prefixSearchAllFields(
+        tbl(s, d, "documents").select(col("doc_id"), col("text"), col("lang"), col("source")),
+        "spa sca src", size = Int.MaxValue)
         .get.orderBy(col("doc_id")).limit(10).select(col("doc_id"))),
 
     // match-all + field sort (+ doc_id tiebreak for a deterministic gate)
@@ -176,7 +234,15 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(tbl(s, d, "documents"), "doc_id", "text")),
 
+    // unbounded = explicit oracle-parity mode (small-sf only)
     "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxShingleDf = Long.MaxValue)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // default bounded hot-shingle guard — identical output at sf0.01
+    // (500 docs: no shingle can exceed df 1000), so same oracle applies
+    "q_dedup_ngram_jaccard_bounded" -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
         shingleK = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
@@ -210,6 +276,14 @@ object SparkEntry {
 
     "q_emb_near_dup" -> ((s, d) =>
       Ann.nearDupPairs(tbl(s, d, "embeddings"), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
+
+    // scale path: LSH-bucketed candidates + exact-cosine verify. Output is
+    // deterministic (seeded hyperplanes); with the default probe settings
+    // its recall over this corpus is exactly 1, so the exact-pairs oracle
+    // applies verbatim (OpsSpec asserts the recall invariant).
+    "q_emb_near_dup_lsh" -> ((s, d) =>
+      Ann.lshNearDupPairs(tbl(s, d, "embeddings"), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
 
     // ---- Text analysis ----
@@ -248,6 +322,27 @@ object SparkEntry {
       """SELECT CAST(event_id AS DOUBLE) AS event_id, TRIM(CAST(event_type AS VARCHAR)) AS event_type,
         | CAST(value AS DOUBLE) AS value, TRIM(CAST(props AS VARCHAR)) AS props FROM events""".stripMargin,
 
+    "q_coerce_typed" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS ts_str,
+        |    CASE WHEN event_id % 3 = 0 THEN 'TRUE'
+        |         WHEN event_id % 3 = 1 THEN 'false' ELSE 'maybe' END AS flag_str,
+        |    '10.' || (user_id % 256) || '.' || (event_id % 256) || '.' ||
+        |      (CASE WHEN event_id % 7 = 0 THEN '999' ELSE (event_id % 200)::VARCHAR END) AS ip_str,
+        |    (user_id % 90) || '.5,' || (event_id % 180) || '.25' AS geo_str
+        |  FROM events)
+        |SELECT event_id,
+        |  strftime(strptime(ts_str, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f') AS ts_iso,
+        |  CASE WHEN lower(flag_str) IN ('true','1') THEN true
+        |       WHEN lower(flag_str) IN ('false','0') THEN false END AS flag,
+        |  CASE WHEN regexp_matches(ip_str,
+        |    '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+        |    THEN ip_str END AS ip,
+        |  string_split(geo_str, ',')[1]::DOUBLE AS lat,
+        |  string_split(geo_str, ',')[2]::DOUBLE AS lon
+        |FROM raw""".stripMargin,
+
     "q_term_filter" ->
       """SELECT doc_id, lang, source FROM documents
         | WHERE lower(lang) = 'en' AND lower(source) = 'src3' ORDER BY doc_id LIMIT 100""".stripMargin,
@@ -255,6 +350,15 @@ object SparkEntry {
     "q_prefix_autocomplete" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $tokSql AS toks FROM documents)
          | WHERE list_bool_and(list_transform(['spa', 'sca'],
+         |   p -> len(list_filter(toks, t -> t LIKE p || '%')) > 0))
+         | ORDER BY doc_id LIMIT 10""".stripMargin,
+
+    "q_prefix_all_fields" ->
+      s"""SELECT doc_id FROM (SELECT doc_id,
+         |   $tokSql
+         |   || regexp_extract_all(lower(lang), '[\\p{L}\\p{N}]+')
+         |   || regexp_extract_all(lower(source), '[\\p{L}\\p{N}]+') AS toks FROM documents)
+         | WHERE list_bool_and(list_transform(['spa', 'sca', 'src'],
          |   p -> len(list_filter(toks, t -> t LIKE p || '%')) > 0))
          | ORDER BY doc_id LIMIT 10""".stripMargin,
 
@@ -324,19 +428,10 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS n_docs FROM documents GROUP BY md5(text)",
 
-    "q_dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(t) - 2, 1)),
-         |    i -> CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
-         |              ELSE t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] END)) AS s
-         |  FROM (SELECT doc_id, $tokSql AS t FROM documents) WHERE len(t) > 0),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
-         |  SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jac
-         |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
-         | WHERE jac >= 0.5""".stripMargin,
+    "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    // guard is a no-op at sf0.01 (df can't exceed 1000 in 500 docs), so
+    // the bounded default path matches the same exact oracle
+    "q_dedup_ngram_jaccard_bounded" -> ngramJaccardSql,
 
     "q_ann_brute_topk" ->
       """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
@@ -351,13 +446,11 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 4 AND c.vec_id <> q.vec_id) WHERE rank <= 10""".stripMargin,
 
-    "q_emb_near_dup" ->
-      """SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
-        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) WHERE cos >= 0.4""".stripMargin,
+    "q_emb_near_dup" -> embNearDupSql,
+    // LSH path is deterministic (seeded planes) with recall 1 on this
+    // corpus at the default probe settings (OpsSpec pins the invariant),
+    // so the exact-pairs oracle applies verbatim
+    "q_emb_near_dup_lsh" -> embNearDupSql,
 
     "q_token_count" ->
       s"SELECT doc_id, len($tokSql) AS n_tokens FROM documents",

@@ -153,7 +153,9 @@ final class IndexStore(val root: String) {
       .head()
     val n = d.getLong(0)
     val tok = d.getLong(1)
-    IndexStats(n, if (n == 0) 0.0 else tok.toDouble / n, 0L, tok)
+    // distinct: per-slice partial term rows merge to one global term each
+    val nTerms = readTable(spark, "terms").select("term").distinct().count()
+    IndexStats(n, if (n == 0) 0.0 else tok.toDouble / n, nTerms, tok)
   }
 }
 
@@ -173,6 +175,21 @@ case class OpenIndex(
     * cogroup path — at 10^12 docs the norms table is executor-side state,
     * not driver-broadcastable.
     */
+  /** Driver-side term→df lookup for the low-latency query path: resolves
+    * query-term stats without a per-query Spark job (one cached collect at
+    * first use). Bounded: past the threshold (web-scale vocabularies don't
+    * fit driver memory) queries fall back to the filtered-collect path,
+    * which row-group stats keep cheap on the compacted terms table.
+    */
+  lazy val termsLocal: Option[Map[String, Long]] = {
+    val spark = docs.sparkSession
+    val maxTerms = spark.conf.getOption("graft.query.localTermsMaxCount")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (terms.count() <= maxTerms)
+      Some(terms.collect().map(t => t.term -> t.df).toMap)
+    else None
+  }
+
   lazy val normsBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Int, SegNorms]]] = {
     val spark = docs.sparkSession
     val maxSegs = spark.conf.getOption("graft.query.broadcastNormsMaxSegs")

@@ -27,6 +27,21 @@ object FileIngest {
 
   private val Corrupt = "_corrupt_record"
 
+  /** Explicit file-order row index: contiguous zipWithIndex over the
+    * parsed rows ((partition, offset) order — splits are byte-offset
+    * ordered, so this is the file's physical row order). Used as the
+    * upsert tiebreak instead of `monotonically_increasing_id`, whose
+    * sparse per-partition values encode the same order less auditably.
+    */
+  private def withRowOrder(df: DataFrame, colName: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(colName, org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Parse one file (csv/json by extension, case-insensitive — the
     * reference's extension predicate, file_processor.py:85-86) into
     * (goodRows, failedCount).
@@ -83,7 +98,7 @@ object FileIngest {
           val deduped =
             if (coerced.columns.contains("id"))
               Upsert.lastWriteWins(
-                coerced.withColumn("__ord", monotonically_increasing_id()),
+                withRowOrder(coerced, "__ord"),
                 "id", Seq("__ord")).drop("__ord")
             else coerced
           val n = deduped.count()

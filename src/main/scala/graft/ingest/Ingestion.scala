@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,8 +11,6 @@ import org.apache.spark.sql.types._
 object Coerce {
   /** The reference's three-valued coercion (file_processor.py:207-233):
     * NaN → null, numeric dtypes → double, everything else → trimmed string.
-    * Columns listed in `numeric` are cast to double with NaN nulled; all
-    * other columns become trimmed strings (null-preserving).
     */
   def documents(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
@@ -20,10 +18,72 @@ object Coerce {
         case _: NumericType =>
           val c = col(f.name).cast(DoubleType)
           when(isnan(c), lit(null)).otherwise(c).as(f.name)
-        case DoubleType | FloatType =>
-          val c = col(f.name).cast(DoubleType)
-          when(isnan(c), lit(null)).otherwise(c).as(f.name)
         case _ => trim(col(f.name).cast(StringType)).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Mapping field types from the reference's type-compatibility table
+    * (data_ingestion_requirements.md:104-123). Unparseable values coerce
+    * to null (the reference's per-item bulk-error semantics applied
+    * columnwise) — never a thrown task error.
+    */
+  sealed trait FieldType
+  case object KeywordField extends FieldType  // trimmed string
+  case object LongField extends FieldType
+  case object DoubleField extends FieldType
+  case object DateField extends FieldType     // ISO-8601 → timestamp
+  case object BooleanField extends FieldType  // true/false/1/0, case-insensitive
+  case object IpField extends FieldType       // validated dotted quad, else null
+  case object GeoPointField extends FieldType // "lat,lon" or struct → struct(lat,lon)
+
+  private val IpRegex =
+    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+
+  /** Coerce one column to a mapping field type (pure column expressions,
+    * codegen'd end to end).
+    */
+  def coerceTo(c: Column, t: FieldType): Column = t match {
+    // try_cast throughout: malformed input must coerce to null, never
+    // throw a task error (Spark 4 ANSI mode makes plain cast throw)
+    case KeywordField => trim(c.cast(StringType))
+    case LongField    => c.try_cast(LongType)
+    case DoubleField  =>
+      val d = c.try_cast(DoubleType)
+      when(isnan(d), lit(null)).otherwise(d)
+    case DateField    => c.try_cast(TimestampType) // ISO-8601 parse; null on fail
+    case BooleanField =>
+      val s = lower(trim(c.cast(StringType)))
+      when(s.isin("true", "1"), lit(true))
+        .when(s.isin("false", "0"), lit(false))
+        .otherwise(lit(null).cast(BooleanType))
+    case IpField      =>
+      val s = trim(c.cast(StringType))
+      when(s.rlike(IpRegex), s).otherwise(lit(null).cast(StringType))
+    case GeoPointField =>
+      // get() (0-based) is null-safe out of bounds, unlike element_at
+      val parts = split(trim(c.cast(StringType)), ",")
+      val lat = trim(get(parts, lit(0))).try_cast(DoubleType)
+      val lon = trim(get(parts, lit(1))).try_cast(DoubleType)
+      when(size(parts) === 2 && abs(lat) <= 90.0 && abs(lon) <= 180.0,
+        struct(lat.as("lat"), lon.as("lon")))
+        .otherwise(lit(null).cast("struct<lat:double,lon:double>"))
+  }
+
+  /** Apply a field-type mapping; unmapped columns fall back to the
+    * `documents` numeric-vs-string rule.
+    */
+  def withMapping(df: DataFrame, mapping: Map[String, FieldType]): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      mapping.get(f.name) match {
+        case Some(t) => coerceTo(col(f.name), t).as(f.name)
+        case None => f.dataType match {
+          case _: NumericType =>
+            val c = col(f.name).cast(DoubleType)
+            when(isnan(c), lit(null)).otherwise(c).as(f.name)
+          case _ => trim(col(f.name).cast(StringType)).as(f.name)
+        }
       }
     }
     df.select(cols.toIndexedSeq: _*)
@@ -96,6 +156,19 @@ object Cleanup {
   /** The reference's one cost-based rule (index_cleanup.py:95-112). */
   def plan(docCount: Long, threshold: Long = IndexRecreateThreshold): CleanupPlan =
     if (docCount <= threshold) DeleteAllDocuments else DropAndRecreate
+
+  /** Settings that can't be carried into a recreated index
+    * (index_cleanup.py:172-176): engine-assigned identity/lineage values.
+    */
+  final val ImmutableSettings: Set[String] =
+    Set("creation_date", "uuid", "version", "provided_name")
+
+  /** Settings round-trip for drop-and-recreate: preserve user settings,
+    * strip the engine-assigned immutable ones (index_cleanup.py:172-186).
+    * The table-properties analogue for a parquet/Iceberg-backed index.
+    */
+  def recreateSettings(settings: Map[String, String]): Map[String, String] =
+    settings.filterNot { case (k, _) => ImmutableSettings.contains(k) }
 }
 
 /** Dead-letter queue sink (reference file_processor.py:263-413): failed

@@ -87,33 +87,67 @@ object Ann {
     key
   }
 
-  /** LSH-bucketed ANN: join queries to corpus within matching buckets and
-    * rank by exact cosine inside the bucket. Recall < 1 by construction;
-    * `nPlanes` trades recall vs bucket size.
+  /** Multi-table, multi-probe LSH ANN. The corpus stores one sign-bit
+    * bucket key per table (`nTables` × corpus rows — the classic LSH index
+    * size trade); each query probes, per table, every bucket within
+    * Hamming distance `probeBits` of its own signature (query-side
+    * multi-probe: the candidate fan-out rides the tiny broadcast side, the
+    * corpus is never re-keyed). Candidates are ranked by exact cosine, so
+    * precision within the candidate set is exact; recall at the defaults
+    * is ≈ 1 - (1 - P(H ≤ probeBits))^nTables ≳ 0.95 for true top-10
+    * neighbors of this corpus (pinned in OpsSpec).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 12, seed: Long = 42L,
+      nPlanes: Int = 8, seed: Long = 42L,
+      nTables: Int = 8, probeBits: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    require(nPlanes >= 1 && nPlanes <= 28, "nPlanes must be in [1, 28]")
+    require(probeBits >= 0 && probeBits <= 2, "probeBits 0..2 supported")
     import org.apache.spark.sql.expressions.Window
 
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val bucketOf = udf((v: Seq[Double]) => signBucket(v.toArray, planes))
+    val tables = Array.tabulate(nTables)(t => hyperplanes(dim, nPlanes, seed + 7919L * t))
 
-    def withBucket(df: DataFrame, id: String, vec: String) = df
-      .select(col(idCol).cast("long").as(id),
-        col(vecCol).cast("array<double>").as(vec))
-      .withColumn("bucket", bucketOf(col(vec)))
+    val corpusKeys = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      Array.tabulate(nTables)(t => (t.toLong << (nPlanes + 1)) | signBucket(a, tables(t)))
+    }
+    val queryKeys = udf { (v: Seq[Double]) =>
+      val a = v.toArray
+      val out = Array.newBuilder[Long]
+      var t = 0
+      while (t < nTables) {
+        val tag = t.toLong << (nPlanes + 1)
+        val base = signBucket(a, tables(t))
+        out += (tag | base)
+        if (probeBits >= 1) {
+          var i = 0
+          while (i < nPlanes) {
+            out += (tag | (base ^ (1L << i)))
+            if (probeBits >= 2) {
+              var j = i + 1
+              while (j < nPlanes) { out += (tag | (base ^ (1L << i) ^ (1L << j))); j += 1 }
+            }
+            i += 1
+          }
+        }
+        t += 1
+      }
+      out.result()
+    }
 
-    val c = withBucket(corpus, "nbr_id", "v_c")
-    val q = withBucket(queries, "query_id", "v_q")
+    val c = withNorm(prep(corpus, idCol, vecCol), idCol, "nbr_id", "v_c")
+      .withColumn("key", explode(corpusKeys(col("v_c"))))
+    val q = withNorm(prep(queries, idCol, vecCol), idCol, "query_id", "v_q")
+      .withColumn("key", explode(queryKeys(col("v_q"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    c.join(broadcast(q), "bucket")
+    c.join(broadcast(q), "key")
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("v_q"), col("v_c")))
+      .withColumn("cosine",
+        cosineHoisted(col("v_q"), col("v_q_norm"), col("v_c"), col("v_c_norm")))
+      .select("query_id", "nbr_id", "cosine")
+      .distinct() // a pair can collide in several (table, probe) buckets
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cosine", "rank")
@@ -177,13 +211,16 @@ object Ann {
     centroids
   }
 
-  /** IVF ANN: assign corpus vectors to their nearest centroid cell, probe
-    * the `nProbe` nearest cells per query, rank by exact cosine within the
-    * probed cells. The cell assignment is the partition key at scale —
-    * queries touch nProbe/nCells of the corpus.
+  /** IVF ANN: assign corpus vectors to their `nAssign` nearest centroid
+    * cells, probe the `nProbe` nearest cells per query, rank by exact
+    * cosine within the probed cells. The cell assignment is the partition
+    * key at scale — queries touch ~nProbe/nCells of the corpus.
+    * `nAssign > 1` (multi-assignment / spilling) trades `nAssign`× storage
+    * for recall at cell boundaries — the standard IVF remedy when vectors
+    * sit between centroids.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L, nAssign: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.expressions.Window
@@ -191,49 +228,40 @@ object Ann {
     val centroids = trainIvfCentroids(corpus, nCells, seed = seed,
       idCol = idCol, vecCol = vecCol)
     val bc = spark.sparkContext.broadcast(centroids)
-    val cellOf = udf { (v: Seq[Double]) =>
+    def nearestCells(n: Int) = udf { (v: Seq[Double]) =>
       val cs = bc.value
       var s = 0.0; v.foreach(x => s += x * x)
       val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
-      val n = v.map(_ * inv).toArray
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < n.length) { val x = n(i) - cs(c)(i); d += x * x; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val probesOf = udf { (v: Seq[Double]) =>
-      val cs = bc.value
-      var s = 0.0; v.foreach(x => s += x * x)
-      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
-      val n = v.map(_ * inv).toArray
+      val nv = v.map(_ * inv).toArray
       cs.indices.map { c =>
         var d = 0.0; var i = 0
-        while (i < n.length) { val x = n(i) - cs(c)(i); d += x * x; i += 1 }
+        while (i < nv.length) { val x = nv(i) - cs(c)(i); d += x * x; i += 1 }
         (d, c)
-      }.sortBy(_._1).take(nProbe).map(_._2)
+      }.sortBy(_._1).take(n).map(_._2)
     }
     val c = withNorm(prep(corpus, idCol, vecCol), idCol, "nbr_id", "v_c")
-      .withColumn("cell", cellOf(col("v_c")))
+      .withColumn("cell", explode(nearestCells(nAssign)(col("v_c"))))
     val q = withNorm(prep(queries, idCol, vecCol), idCol, "query_id", "v_q")
-      .withColumn("cell", explode(probesOf(col("v_q"))))
+      .withColumn("cell", explode(nearestCells(nProbe)(col("v_q"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
-    c.join(broadcast(q), "cell")
+    val scored = c.join(broadcast(q), "cell")
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineHoisted(col("v_q"), col("v_q_norm"), col("v_c"), col("v_c_norm")))
+      .select("query_id", "nbr_id", "cosine")
+    // multi-assigned pairs can meet in several probed cells — dedupe the
+    // pair (cosine is a pure function of it) before ranking
+    val distinctPairs = if (nAssign > 1) scored.distinct() else scored
+    distinctPairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
-    * Exact quadratic form for oracle parity; the scale path buckets by
-    * LSH first (`lshNearDupPairs`).
+    * Exact quadratic form — the small-scale oracle ONLY (O(N²) pairs);
+    * `lshNearDupPairs` below is the scale path.
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -244,6 +272,72 @@ object Ann {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         cosineHoisted(col("v_a"), col("v_a_norm"), col("v_b"), col("v_b_norm")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** LSH-bucketed embedding near-duplicate pairs — the scale path.
+    *
+    * Each vector is hashed by `nTables` independent sign-bit signatures of
+    * `nPlanes` hyperplanes and lands in its bucket plus (with
+    * `probeBits = 1`) every 1-bit-flip bucket, so a pair collides in a
+    * table whenever its signatures differ by ≤ 2 bits. Candidate pairs are
+    * generated only inside (table, bucket) groups — bounded by `maxBucket`
+    * — then verified by exact cosine, so precision is exact and recall is
+    * 1 - Π_t P(hamming_t > 2·probeBits). With the defaults the miss
+    * probability for a pair at cosine 0.4 (the loosest useful threshold)
+    * is ≈ 0.39⁸ < 10⁻³ per pair; tighter pairs are safer still.
+    *
+    * Scale knobs: grow `nPlanes` ≈ log2(N / targetBucketSize) so bucket
+    * width tracks corpus size (e.g. 20 planes at 10⁹ vectors); the only
+    * wide ops are the bucket groupBy and the two candidate-verify joins —
+    * never an all-pairs product.
+    */
+  def lshNearDupPairs(df: DataFrame, threshold: Double,
+      nPlanes: Int = 6, nTables: Int = 8, probeBits: Int = 1,
+      seed: Long = 42L, maxBucket: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 28, "nPlanes must be in [1, 28]")
+    require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val tables = Array.tabulate(nTables)(t => hyperplanes(dim, nPlanes, seed + 7919L * t))
+    val keysOf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val keys = Array.newBuilder[Long]
+      var t = 0
+      while (t < tables.length) {
+        val base = signBucket(arr, tables(t))
+        val tag = t.toLong << (nPlanes + 1)
+        keys += (tag | base)
+        if (probeBits >= 1) {
+          var b = 0
+          while (b < nPlanes) { keys += (tag | (base ^ (1L << b))); b += 1 }
+        }
+        t += 1
+      }
+      keys.result()
+    }
+
+    val p = prep(df, idCol, vecCol)
+    val vecs = withNorm(p, idCol, "id", "v").persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val pairs = vecs
+      .select(col("id"), explode(keysOf(col("v"))).as("key"))
+      .groupBy("key")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(Dedup.pairsOf(col("ids"))).as("pr"))
+      .select(col("pr._1").as("id_a"), col("pr._2").as("id_b"))
+      .distinct()
+
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("v_norm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("v_norm").as("nb")), "id_b")
+      .withColumn("cosine", cosineHoisted(col("v_a"), col("na"), col("v_b"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

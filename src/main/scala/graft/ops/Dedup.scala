@@ -86,17 +86,20 @@ object Dedup {
     require(m % bands == 0, "m must divide into bands")
     val r = m / bands
 
-    val sigs = df
+    // ONE tokenize+shingle pass: sets and signatures come out of the same
+    // materialized map (persisted, spills to disk), so the verify stage
+    // reuses the shingle sets instead of re-analyzing the corpus.
+    val base = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val toks = graft.analysis.Analyzer.tokenize(text)
-        val sh = shingles(toks, shingleK).distinct.map(Hash64(_))
-        (id, minhashSignature(sh, m, seed))
+        val sh = shingles(graft.analysis.Analyzer.tokenize(text), shingleK).distinct
+        (id, sh, minhashSignature(sh.map(Hash64(_)), m, seed))
       }
-      .toDF("id", "sig")
+      .toDF("id", "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(
+    val banded = base.select(
       col("id"),
       posexplode(
         // band hash = hash of the r signature values of that band
@@ -114,14 +117,13 @@ object Dedup {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
 
-    // verify candidates with exact Jaccard over shingle sets
-    val sets = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, shingles(graft.analysis.Analyzer.tokenize(text), shingleK).distinct)
-      }
-      .toDF("id", "sh")
+    // verify candidates with exact Jaccard — only candidate ids' shingle
+    // sets enter the join (semi-join first: candidates are a vanishing
+    // fraction of the corpus at scale)
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sets = base.select("id", "sh").join(candIds, Seq("id"), "left_semi")
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -132,8 +134,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** All unordered pairs (a < b) of a (small, capped) bucket array. */
-  private def pairsOf(ids: Column): Column =
+  /** All unordered pairs (a < b) of a (small, capped) bucket array.
+    * NOTE: expr-based — the input column must be named `ids`.
+    */
+  private[ops] def pairsOf(ids: Column): Column =
     expr("""
       flatten(transform(ids, (x, i) ->
         transform(filter(ids, (y, j) -> j > i),
@@ -201,11 +205,17 @@ object Dedup {
     * (shingle, doc) → self-join on shingle → per-pair intersection count →
     * Jaccard. `maxShingleDf` drops ubiquitous shingles (they generate
     * quadratic candidates while adding no discrimination) — the standard
-    * web-scale guard; disabled by default for oracle parity.
+    * web-scale guard, ON by default: the shingle self-join goes quadratic
+    * on any hot shingle without it. Pass `Long.MaxValue` explicitly for
+    * unbounded exact-parity mode (small corpora only). Pair Jaccard is
+    * still computed against UNFILTERED set sizes, so the guard can only
+    * under-count intersections (drop borderline pairs), never inflate.
     */
+  final val DefaultMaxShingleDf = 1000L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val docShingles = df

@@ -56,6 +56,33 @@ object Search {
     Some(if (size == Int.MaxValue) filtered else filtered.limit(size))
   }
 
+  /** All-fields prefix autocomplete — the reference's `fields: ["*"]`
+    * semantics (web/app.py:142-151): every query token must prefix-match
+    * an analyzed token of ANY searched field. `fields` defaults to every
+    * StringType column of the input. One pass: per-row the field token
+    * streams concatenate into a single array the prefix predicates probe
+    * (codegen'd tokenize, no UDF; null fields contribute no tokens).
+    */
+  def prefixSearchAllFields(docs: DataFrame, query: String,
+      size: Int = AutocompleteSize, fields: Seq[String] = Seq.empty): Option[DataFrame] = {
+    if (query == null || query.trim.length < MinPrefixLen) return None
+    val prefixes = Analyzer.tokenize(query)
+    if (prefixes.isEmpty) return None
+    val cols =
+      if (fields.nonEmpty) fields
+      else docs.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSeq
+    if (cols.isEmpty) return None
+    val empty = lit(Array.empty[String])
+    val toks = flatten(array(cols.map(c => coalesce(ga.tokenize(col(c)), empty)): _*))
+    val pred = prefixes
+      .map(p => exists(toks, t => t.startsWith(lit(p))))
+      .reduce(_ && _)
+    val filtered = docs.filter(pred)
+    Some(if (size == Int.MaxValue) filtered else filtered.limit(size))
+  }
+
   /** Prefix search through the index's term dictionary: a range scan
     * `term >= p && term < p + MaxChar` per token over the postings table
     * (min/max row-group stats prune the scan), intersected on docID —

@@ -32,11 +32,17 @@ object Wand {
     import spark.implicits._
     val qTerms = Analyzer.tokenize(query).distinct.sorted
     val stats = index.stats
-    val present = index.terms
-      .filter(col("term").isin(qTerms: _*))
-      .collect()
-      .map(t => t.term -> t.df)
-      .toMap
+    // term stats from the driver-side map when the vocabulary is bounded
+    // (no per-query job); filtered collect otherwise
+    val present: Map[String, Long] = index.termsLocal match {
+      case Some(m) => qTerms.iterator.flatMap(t => m.get(t).map(t -> _)).toMap
+      case None =>
+        index.terms
+          .filter(col("term").isin(qTerms: _*))
+          .collect()
+          .map(t => t.term -> t.df)
+          .toMap
+    }
     if (present.isEmpty || stats.nDocs == 0) {
       return spark.createDataFrame(Seq.empty[(Long, Double)])
         .toDF("doc_id", "score")

@@ -30,6 +30,47 @@ class IngestSpec extends AnyFunSuite {
     assert(got(1).getString(3) == "pad")
   }
 
+  test("mapping-type coercion goldens: date/boolean/ip/geo_point (data_ingestion_requirements.md:104-123)") {
+    import spark.implicits._
+    import Coerce._
+    val df = Seq(
+      ("2024-03-01T12:34:56.123456", "TRUE",  "192.168.0.1",   "12.5,-70.25"),
+      ("2024-03-01 12:34:56",        "false", "10.0.0.255",    " 89.0 , 179.0 "),
+      ("not a date",                 "1",     "256.1.1.1",     "95.0,10.0"),   // bad ip octet; lat out of range
+      ("",                           "0",     "1.2.3",         "oops"),
+      ("2024-13-45T99:99:99",        "maybe", "01.2.3.4.5",    "1.0"))
+      .toDF("d", "b", "ip", "geo")
+    val got = withMapping(df, Map(
+      "d" -> DateField, "b" -> BooleanField, "ip" -> IpField, "geo" -> GeoPointField))
+      .collect()
+
+    def ts(r: Row) = Option(r.getTimestamp(0)).map(_.toString).orNull
+    assert(ts(got(0)) == "2024-03-01 12:34:56.123456")
+    assert(ts(got(1)) == "2024-03-01 12:34:56.0")
+    assert(ts(got(2)) == null && ts(got(3)) == null && ts(got(4)) == null)
+
+    assert(got.map(r => Option(r.get(1)).orNull).toSeq ==
+      Seq(true, false, true, false, null))
+
+    assert(got.map(_.getString(2)).toSeq ==
+      Seq("192.168.0.1", "10.0.0.255", null, null, null))
+
+    def geo(r: Row) = Option(r.getStruct(3)).map(s => (s.getDouble(0), s.getDouble(1)))
+    assert(geo(got(0)).contains((12.5, -70.25)))
+    assert(geo(got(1)).contains((89.0, 179.0))) // whitespace-tolerant
+    assert(geo(got(2)).isEmpty)                 // |lat| > 90
+    assert(geo(got(3)).isEmpty && geo(got(4)).isEmpty)
+  }
+
+  test("recreate settings filter strips engine-assigned keys (index_cleanup.py:172-176)") {
+    val settings = Map(
+      "number_of_shards" -> "3", "number_of_replicas" -> "1",
+      "creation_date" -> "1700000000", "uuid" -> "abc123",
+      "version" -> "137227827", "provided_name" -> "members")
+    assert(Cleanup.recreateSettings(settings) ==
+      Map("number_of_shards" -> "3", "number_of_replicas" -> "1"))
+  }
+
   test("upsert: last write wins per id") {
     import spark.implicits._
     val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c")).toDF("id", "seq", "v")

@@ -35,18 +35,30 @@ class MembersParitySpec extends AnyFunSuite {
 
   test("autocomplete: >=3 char guard, AND-of-prefixes, label shape (web/app.py:129-184)") {
     assert(Search.prefixSearch(members, "firstName", "jo").isEmpty) // guard
-    val hits = Search.prefixSearch(
-      members.withColumn("fullText",
-        concat_ws(" ", col("firstName"), col("lastName"), col("city"))),
-      "fullText", "jam smi", size = Int.MaxValue).get
-    val expected = members.filter(
+    assert(Search.prefixSearchAllFields(members, "jo").isEmpty)    // guard
+    // fields:["*"] — every token prefix-matches ANY field, no caller concat
+    val hits = Search.prefixSearchAllFields(members, "jam smi", size = Int.MaxValue).get
+    val nameOnly = members.filter(
       lower(col("firstName")).startsWith("jam") && lower(col("lastName")).startsWith("smi"))
-    assert(hits.count() == expected.count() && hits.count() > 0)
+    // all-fields is a superset of the name-pair match (emails etc. also hit)
+    assert(hits.count() >= nameOnly.count() && nameOnly.count() > 0)
+    // exact cross-field semantics on a controlled frame: 'smi' matches doc 2
+    // only via city, doc 3 fails the AND because no field prefixes 'jam'
+    locally {
+      import spark.implicits._
+      val mini = Seq(
+        (1L, "James", "Smith", "Boston"),
+        (2L, "James", "Jones", "Smithfield"),
+        (3L, "Mary", "Smith", "Springfield")).toDF("id", "first", "last", "city")
+      val got = Search.prefixSearchAllFields(mini, "jam smi", size = Int.MaxValue)
+        .get.select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L))
+    }
     // suggestion label: "first last (memberId)" (web/app.py:177)
     val label = hits.select(
       concat(col("firstName"), lit(" "), col("lastName"),
         lit(" ("), col("memberId"), lit(")")).as("label")).head().getString(0)
-    assert(label.matches("James Smith \\(mem-[0-9a-f]{8}-\\d{6}\\)"))
+    assert(label.matches("\\w+ \\w+ \\(mem-[0-9a-f]{8}-\\d{6}\\)"))
   }
 
   test("match-all browse: firstName sort, size 10 (web/app.py:207-215)") {

@@ -170,6 +170,45 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(0).kind == "image/png" && feats(0).width == 640 && feats(0).height == 480)
   }
 
+  test("lshNearDupPairs: equals exact nearDupPairs on the test corpus (recall 1, exact precision)") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Ann.nearDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshNearDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // exact-cosine verify means no false positives; defaults (8 tables x
+    // 6 planes, 1-bit probes) give per-pair miss < 1e-3 at cosine 0.4 —
+    // and the seeded planes make the outcome deterministic, so this
+    // equality is a stable invariant, not a flaky expectation
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("ngram jaccard: default guard drops hot-shingle-only candidate pairs") {
+    // every doc shares the ubiquitous shingle "x y z"; no other overlap
+    val df = docs((1 to 30).map(i => (i.toLong, s"x y z u$i v$i w$i")): _*)
+    val unbounded = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleK = 3, threshold = 0.05, maxShingleDf = Long.MaxValue)
+    assert(unbounded.count() == 30L * 29 / 2) // quadratic blow-up, guard off
+    val guarded = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleK = 3, threshold = 0.05, maxShingleDf = 5)
+    assert(guarded.count() == 0) // hot shingle filtered before the self-join
+  }
+
+  test("minhash: one tokenize pass — verify stage reuses the materialized base") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " altA altB altC"
+    val df = docs((1L, base), (2L, near), (3L, "some unrelated words entirely"))
+    val res = Dedup.minhashLsh(df, "doc_id", "text", shingleK = 3, m = 128,
+      bands = 32, threshold = 0.5)
+    val plan = res.queryExecution.executedPlan.toString
+    // both the banding branch and the verify branch must scan the cached
+    // (id, shingles, signature) relation instead of re-tokenizing
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("ANN IVF: deterministic training, high recall vs brute force") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -184,5 +223,24 @@ class OpsSpec extends AnyFunSuite {
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall >= 0.6, s"IVF recall $recall too low") // nProbe 6/16 cells
     assert(ivf.size == brute.size)
+  }
+
+  test("ANN recall gates: IVF >= 0.9 at nProbe 8; LSH recall reported") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Ann.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    // nAssign=2 (multi-assignment) recovers cell-boundary neighbors that
+    // single assignment misses (0.84 recall) — the standard IVF spill
+    val ivf = Ann.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 8, nAssign = 2)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    assert(ivfRecall >= 0.9, s"IVF recall@10 $ivfRecall < 0.9 at nProbe=8, nAssign=2")
+    val lsh = Ann.lshTopK(emb, queries, k = 10, nPlanes = 8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    info(f"LSH recall@10 (8 tables x 8 planes, 2-bit query probes): $lshRecall%.3f")
+    assert(lshRecall >= 0.8, s"LSH recall@10 $lshRecall below the multi-probe bar")
   }
 }
