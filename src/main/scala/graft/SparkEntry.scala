@@ -247,7 +247,7 @@ object SparkEntry {
         shingleK = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
-    "q_dedup_minhash_lsh" -> ((s, d) => // no SQL oracle: LSH banding is probabilistic
+    "q_dedup_minhash_lsh" -> ((s, d) => // oracle-gated: see oracleSql note
       Dedup.minhashLsh(tbl(s, d, "documents"), "doc_id", "text",
         shingleK = 3, m = 128, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
@@ -290,6 +290,10 @@ object SparkEntry {
     "q_token_count" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
         TextStats.tokenCount(col("text")).as("n_tokens"))),
+
+    "q_bpe_token_count" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextStats.bpeTokenCount(col("text")).as("n_bpe"))),
 
     "q_lang_id" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
@@ -433,6 +437,12 @@ object SparkEntry {
     // the bounded default path matches the same exact oracle
     "q_dedup_ngram_jaccard_bounded" -> ngramJaccardSql,
 
+    // MinHash+LSH is deterministic (seeded permutations); on this corpus
+    // the banded candidates cover every true pair and the exact-Jaccard
+    // verify stage keeps precisely the >= threshold pairs, so the output
+    // equals the exact n-gram Jaccard oracle
+    "q_dedup_minhash_lsh" -> ngramJaccardSql,
+
     "q_ann_brute_topk" ->
       """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -454,6 +464,10 @@ object SparkEntry {
 
     "q_token_count" ->
       s"SELECT doc_id, len($tokSql) AS n_tokens FROM documents",
+
+    "q_bpe_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text,
+        | '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+'))::INT AS n_bpe FROM documents""".stripMargin,
 
     "q_lang_id" ->
       s"""SELECT doc_id, CASE WHEN best_r < 0.05 THEN 'und' ELSE best_l END AS lang_guess FROM (

@@ -288,33 +288,41 @@ object Ann {
     * probability for a pair at cosine 0.4 (the loosest useful threshold)
     * is ≈ 0.39⁸ < 10⁻³ per pair; tighter pairs are safer still.
     *
-    * Scale knobs: grow `nPlanes` ≈ log2(N / targetBucketSize) so bucket
-    * width tracks corpus size (e.g. 20 planes at 10⁹ vectors); the only
-    * wide ops are the bucket groupBy and the two candidate-verify joins —
-    * never an all-pairs product.
+    * `nPlanes = 0` (the default) auto-scales to ≈ log2(N / 32), so bucket
+    * width tracks corpus size: candidate mass stays bounded as N grows
+    * while recall for genuinely-near pairs (cosine ≳ 0.7) stays ≈ 1; only
+    * pairs hugging the loosest thresholds decay gently with N — the
+    * standard web-scale near-dup trade. The only wide ops are the bucket
+    * groupBy and the two candidate-verify joins — never an all-pairs
+    * product.
     */
   def lshNearDupPairs(df: DataFrame, threshold: Double,
-      nPlanes: Int = 6, nTables: Int = 8, probeBits: Int = 1,
+      nPlanes: Int = 0, nTables: Int = 8, probeBits: Int = 1,
       seed: Long = 42L, maxBucket: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nPlanes >= 1 && nPlanes <= 28, "nPlanes must be in [1, 28]")
+    require(nPlanes >= 0 && nPlanes <= 28, "nPlanes must be in [0, 28]")
     require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
     val spark = df.sparkSession
     import spark.implicits._
 
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val tables = Array.tabulate(nTables)(t => hyperplanes(dim, nPlanes, seed + 7919L * t))
+    val (dim, planes0, nVecs) = {
+      val r = df.agg(first(size(col(vecCol))), count(lit(1))).head()
+      val auto = math.ceil(math.log(math.max(r.getLong(1), 2L) / 32.0) / math.log(2)).toInt
+      (r.getInt(0), if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)), r.getLong(1))
+    }
+    val p0 = planes0
+    val tables = Array.tabulate(nTables)(t => hyperplanes(dim, p0, seed + 7919L * t))
     val keysOf = udf { (v: Seq[Double]) =>
       val arr = v.toArray
       val keys = Array.newBuilder[Long]
       var t = 0
       while (t < tables.length) {
         val base = signBucket(arr, tables(t))
-        val tag = t.toLong << (nPlanes + 1)
+        val tag = t.toLong << (p0 + 1)
         keys += (tag | base)
         if (probeBits >= 1) {
           var b = 0
-          while (b < nPlanes) { keys += (tag | (base ^ (1L << b))); b += 1 }
+          while (b < p0) { keys += (tag | (base ^ (1L << b))); b += 1 }
         }
         t += 1
       }
@@ -325,20 +333,49 @@ object Ann {
     val vecs = withNorm(p, idCol, "id", "v").persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val pairs = vecs
+    // candidate generation as a key self-join, NOT collect_list + explode:
+    // grouped bucket rows are few and byte-small, so AQE coalesces them to
+    // one partition and the quadratic pair expansion runs on one core —
+    // the join keeps the expansion distributed across the key hash space
+    val entries = vecs
       .select(col("id"), explode(keysOf(col("v"))).as("key"))
-      .groupBy("key")
-      .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(Dedup.pairsOf(col("ids"))).as("pr"))
-      .select(col("pr._1").as("id_a"), col("pr._2").as("id_b"))
-      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okKeys = entries.groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+      .select("key")
+    // The pair join EXPANDS: small inputs, huge output. Left alone, AQE
+    // coalesces the byte-small input to one partition and broadcast-joins
+    // it — the quadratic expansion then runs on a single core. An explicit
+    // numPartitions repartition (which AQE never coalesces) plus a
+    // shuffle-hash hint keeps the expansion spread across the key space.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val bounded = entries.join(okKeys, Seq("key"), "left_semi")
+      .repartition(parts, col("key"))
+    val rawPairs = bounded.select(col("key"), col("id").as("id_a")).hint("shuffle_hash")
+      .join(bounded.select(col("key"), col("id").as("id_b")), "key")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
 
-    pairs
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("v_norm").as("na")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("v_norm").as("nb")), "id_b")
-      .withColumn("cosine", cosineHoisted(col("v_a"), col("na"), col("v_b"), col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    def verify(pairs: DataFrame, bcastVecs: Boolean): DataFrame = {
+      def side(s: String, n: String) =
+        if (bcastVecs) broadcast(vecs.select(col("id").as(s), col("v").as("v" + s), col("v_norm").as(n)))
+        else vecs.select(col("id").as(s), col("v").as("v" + s), col("v_norm").as(n))
+      pairs
+        .join(side("id_a", "na"), "id_a")
+        .join(side("id_b", "nb"), "id_b")
+        .withColumn("cosine", cosineHoisted(col("vid_a"), col("na"), col("vid_b"), col("nb")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+
+    // Candidate multiplicity (same pair colliding in several table/probe
+    // buckets) must be deduplicated exactly once. When the vector table is
+    // broadcastable, verifying FIRST is far cheaper: the per-row dot
+    // product is codegen'd CPU work while distinct is a full shuffle of
+    // the raw candidate stream, and the surviving output is tiny. Past
+    // broadcast size the verify joins become shuffles themselves, so
+    // dedupe the (id,id) pairs first and join vectors once per pair.
+    if (nVecs <= 1000000L) verify(rawPairs, bcastVecs = true).distinct()
+    else verify(rawPairs.distinct(), bcastVecs = false)
   }
 }

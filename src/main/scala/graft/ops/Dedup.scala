@@ -182,12 +182,15 @@ object Dedup {
       .map { case (id, text) => (id, simhash64(graft.analysis.Analyzer.tokenize(text))) }
       .toDF("id", "sim")
 
+    // persisted: the band self-join reads both sides from this relation —
+    // without it the tokenize+simhash map runs twice
     val banded = hashed.select(
       col("id"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> " +
           s"(shiftright(sim, b * $width) & ${(1L << width) - 1}))"))
         .as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sim").as("sim_a"))
@@ -218,6 +221,8 @@ object Dedup {
       maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: consumed by the df-guard, both self-join sides, and the
+    // size denominators — without it the tokenize+shingle pass runs 3-4×
     val docShingles = df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -226,6 +231,7 @@ object Dedup {
           .map(s => (id, s))
       }
       .toDF("id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val filtered =
       if (maxShingleDf == Long.MaxValue) docShingles

@@ -45,6 +45,19 @@ object TextStats {
 
   def tokenCount(textCol: Column): Column = ga.token_count(textCol)
 
+  /** GPT-style pre-tokenizer pattern: letter runs, digit runs, and
+    * non-space symbol runs each count as one token — the cheap,
+    * vocabulary-free approximation of a BPE tokenizer's pre-split,
+    * good for corpus token budgeting without shipping a merges table.
+    */
+  final val BpePreTokenPattern = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+"
+
+  /** Approximate BPE token count (pre-tokenizer splits, no merges):
+    * a single codegen'd regexp_count — no array materialization.
+    */
+  def bpeTokenCount(textCol: Column): Column =
+    regexp_count(textCol, lit(BpePreTokenPattern))
+
   /** Quality score in [0,1]: blend of length saturation, alphabetic
     * character ratio, and English stopword presence — the standard cheap
     * web-text quality gates (length/punct/stopword ratios).

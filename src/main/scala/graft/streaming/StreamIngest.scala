@@ -52,6 +52,33 @@ object StreamIngest {
       .start()
   }
 
+  /** Stateful streaming exact-dedup: keyed by content hash, the first-seen
+    * document passes downstream and every later duplicate is dropped —
+    * the incremental form of `ops.Dedup.exact` for a continuously
+    * arriving corpus. State per key is one boolean, sharded by the
+    * content-hash shuffle (`flatMapGroupsWithState`), so state size is
+    * O(distinct documents) spread across executors; within a micro-batch
+    * the smallest id wins deterministically.
+    */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"),
+        md5(col(textCol)).as("fp"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[(Long, String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator(rows.minBy(_._1))
+          })
+      .toDF("id", "text", "fp")
+  }
+
   /** Watermarked sliding-window event aggregation:
     * counts + value sums per (window, event_type).
     */

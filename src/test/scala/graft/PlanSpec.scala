@@ -56,4 +56,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(hits)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("lshNearDupPairs plans equality joins only — no cartesian product") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Ann.lshNearDupPairs(emb, threshold = 0.4))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup scale path must never plan a cross join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("lshTopK broadcasts the probe side; corpus joined by bucket key") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Ann.lshTopK(emb, emb.filter(col("vec_id") < 2), k = 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("wand topK issues no terms-table job (driver-side stats) and one blocks shuffle") {
+    val idx = SparkEntry.indexFor(spark, sf)
+    assert(idx.termsLocal.nonEmpty, "bounded vocab must resolve driver-side")
+    val df = graft.query.Wand.topK(spark, idx, "spark dup", 5)
+    val p = plan(df)
+    // document-sharded WAND: one exchange of the query terms' blocks, then
+    // the tiny TakeOrdered merge — no join, no second shuffle
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

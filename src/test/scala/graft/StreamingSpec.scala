@@ -36,6 +36,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/staging").count() == 3) // only the new row appended
   }
 
+  test("dedupStream: stateful first-seen-wins dedup across micro-batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-dd-").toString
+    val src = s"$base/src"
+    // batch 1: two distinct texts, one in-batch duplicate (id 3 loses to 1)
+    Seq((3L, "same text"), (1L, "same text"), (2L, "other text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((1L, "x")).toDF("doc_id", "text").schema)
+        .parquet(src)
+      val q = StreamIngest.dedupStream(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val out1 = spark.read.parquet(s"$base/out")
+      .select("id").as[Long].collect().toSet
+    assert(out1 == Set(1L, 2L))
+
+    // batch 2: a cross-batch duplicate is dropped by state; new text passes
+    Seq((4L, "same text"), (5L, "fresh text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    drain()
+    val out2 = spark.read.parquet(s"$base/out")
+      .select("id").as[Long].collect().toSet
+    assert(out2 == Set(1L, 2L, 5L), s"state must drop the cross-batch dup: $out2")
+  }
+
   test("eventCounts: watermarked windowed aggregation over a stream") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-ev-").toString

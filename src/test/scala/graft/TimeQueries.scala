@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query timing: runMain graft.TimeQueries <sfDir> <q1,q2,...> */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[time] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
+    }
+    spark.stop()
+  }
+}

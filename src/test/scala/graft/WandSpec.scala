@@ -101,6 +101,29 @@ class WandSpec extends AnyFunSuite {
     bigDocs.unpersist()
   }
 
+  test("fuzz: random index geometries and k values stay rank-identical") {
+    val rnd = new scala.util.Random(77)
+    val vocab = Corpus.vocabulary
+    // odd block sizes + tiny segments stress block-boundary skip logic
+    for ((segSize, blockSize, slices) <- Seq((128, 8, 1), (333, 17, 2), (512, 16, 4))) {
+      val store = new IndexStore(Files.createTempDirectory("graft-wand-fuzz-").toString)
+      IndexBuilder.build(spark, docs, store,
+        IndexBuilder.Config(segSize = segSize, blockSize = blockSize, slices = slices))
+      val idx = store.open(spark)
+      val randomQueries = (1 to 4).map { _ =>
+        (1 to (1 + rnd.nextInt(5))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      for (q <- randomQueries; k <- Seq(1, 3, 37)) {
+        val wand = Wand.topK(spark, idx, q, k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val oracle = OracleScorer.topK(spark, docs, q, k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(wand == oracle, s"seg=$segSize blk=$blockSize slices=$slices query='$q' k=$k")
+      }
+      store.dropAll()
+    }
+  }
+
   test("broadcast-norms fast path and cogroup scale path are rank-identical") {
     val store = index.store
     val sCogroup = spark.newSession()
