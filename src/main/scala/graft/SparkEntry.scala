@@ -146,6 +146,13 @@ object SparkEntry {
         tbl(s, d, "documents"), "text", "spa sca", size = Int.MaxValue)
         .get.orderBy(col("doc_id")).limit(10).select(col("doc_id"))),
 
+    // byte-faithful query_string "{q}*": 'spark' exact, trailing 'sca' prefix
+    "q_autocomplete_querystring" -> ((s, d) =>
+      Search.queryStringAutocomplete(
+        tbl(s, d, "documents").select(col("doc_id"), col("text"), col("lang"), col("source")),
+        "spark sca", size = Int.MaxValue)
+        .get.orderBy(col("doc_id")).limit(10).select(col("doc_id"))),
+
     // fields:["*"] autocomplete: 'src' only matches via the source column
     "q_prefix_all_fields" -> ((s, d) =>
       Search.prefixSearchAllFields(
@@ -355,6 +362,15 @@ object SparkEntry {
       s"""SELECT doc_id FROM (SELECT doc_id, $tokSql AS toks FROM documents)
          | WHERE list_bool_and(list_transform(['spa', 'sca'],
          |   p -> len(list_filter(toks, t -> t LIKE p || '%')) > 0))
+         | ORDER BY doc_id LIMIT 10""".stripMargin,
+
+    "q_autocomplete_querystring" ->
+      s"""SELECT doc_id FROM (SELECT doc_id,
+         |   $tokSql
+         |   || regexp_extract_all(lower(lang), '[\\p{L}\\p{N}]+')
+         |   || regexp_extract_all(lower(source), '[\\p{L}\\p{N}]+') AS toks FROM documents)
+         | WHERE list_contains(toks, 'spark')
+         |   AND len(list_filter(toks, t -> t LIKE 'sca' || '%')) > 0
          | ORDER BY doc_id LIMIT 10""".stripMargin,
 
     "q_prefix_all_fields" ->

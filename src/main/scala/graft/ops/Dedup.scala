@@ -192,9 +192,12 @@ object Dedup {
         .as(Seq("band", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = banded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("key"),
+    // co-partitioned self-join, same expansion rationale as above
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sides = banded.repartition(parts, col("band"), col("key"))
+    val a = sides.select(col("band"), col("key"),
+      col("id").as("id_a"), col("sim").as("sim_a")).hint("shuffle_hash")
+    val b = sides.select(col("band"), col("key"),
       col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -243,8 +246,13 @@ object Dedup {
 
     val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
 
-    val a = filtered.select(col("shingle"), col("id").as("id_a"))
-    val b = filtered.select(col("shingle"), col("id").as("id_b"))
+    // explicit numPartitions repartition + shuffle-hash: the inputs are
+    // byte-small but the self-join EXPANDS quadratically per shingle —
+    // AQE-coalesced plans run the expansion on one core (see Ann)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sides = filtered.repartition(parts, col("shingle"))
+    val a = sides.select(col("shingle"), col("id").as("id_a")).hint("shuffle_hash")
+    val b = sides.select(col("shingle"), col("id").as("id_b"))
     val inter = a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")

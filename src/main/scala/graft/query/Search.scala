@@ -83,6 +83,33 @@ object Search {
     Some(if (size == Int.MaxValue) filtered else filtered.limit(size))
   }
 
+  /** Byte-faithful `query_string` autocomplete (web/app.py:142-151): the
+    * reference appends a single `*` to the raw query, so with
+    * `default_operator: "and"` every token but the LAST must match a
+    * document token exactly (term equality in any field) and only the
+    * last token is a prefix match. `prefixSearchAllFields` is the
+    * all-prefixes variant; this one mirrors the reference's literal query.
+    */
+  def queryStringAutocomplete(docs: DataFrame, query: String,
+      size: Int = AutocompleteSize, fields: Seq[String] = Seq.empty): Option[DataFrame] = {
+    if (query == null || query.trim.length < MinPrefixLen) return None
+    val qToks = Analyzer.tokenize(query)
+    if (qToks.isEmpty) return None
+    val cols =
+      if (fields.nonEmpty) fields
+      else docs.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSeq
+    if (cols.isEmpty) return None
+    val empty = lit(Array.empty[String])
+    val toks = flatten(array(cols.map(c => coalesce(ga.tokenize(col(c)), empty)): _*))
+    val exactPreds = qToks.init.map(t => array_contains(toks, t))
+    val lastPred = exists(toks, t => t.startsWith(lit(qToks.last)))
+    val pred = (exactPreds :+ lastPred).reduce(_ && _)
+    val filtered = docs.filter(pred)
+    Some(if (size == Int.MaxValue) filtered else filtered.limit(size))
+  }
+
   /** Prefix search through the index's term dictionary: a range scan
     * `term >= p && term < p + MaxChar` per token over the postings table
     * (min/max row-group stats prune the scan), intersected on docID —

@@ -61,6 +61,18 @@ class MembersParitySpec extends AnyFunSuite {
     assert(label.matches("\\w+ \\w+ \\(mem-[0-9a-f]{8}-\\d{6}\\)"))
   }
 
+  test("query_string autocomplete: only the LAST token is a prefix (web/app.py:145)") {
+    // 'jam' must match exactly under query_string "{q}*" — no member has
+    // the bare token 'jam', so zero hits; the all-prefix variant differs
+    val qs = Search.queryStringAutocomplete(members, "jam smi", size = Int.MaxValue).get
+    assert(qs.count() == 0)
+    val qs2 = Search.queryStringAutocomplete(members, "james smi", size = Int.MaxValue).get
+    val expected = members.filter(
+      lower(col("firstName")) === "james" && lower(col("lastName")).startsWith("smi"))
+    assert(qs2.count() >= expected.count() && expected.count() > 0)
+    assert(Search.queryStringAutocomplete(members, "ja").isEmpty) // guard
+  }
+
   test("match-all browse: firstName sort, size 10 (web/app.py:207-215)") {
     val got = Search.matchAll(members, "firstName", size = 10)
       .select("firstName").collect().map(_.getString(0)).toSeq
