@@ -297,7 +297,7 @@ object Ann {
     * product.
     */
   def lshNearDupPairs(df: DataFrame, threshold: Double,
-      nPlanes: Int = 0, nTables: Int = 8, probeBits: Int = 1,
+      nPlanes: Int = 0, nTables: Int = 12, probeBits: Int = 1,
       seed: Long = 42L, maxBucket: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nPlanes >= 0 && nPlanes <= 28, "nPlanes must be in [0, 28]")
