@@ -210,6 +210,17 @@ object SparkEntry {
         keyCol = "user_id", orderCols = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))),
 
+    // partial update by id: update rows carry only (key, lang); null/omitted
+    // fields keep their current values, unknown ids are ignored
+    "q_partial_update" -> ((s, d) => {
+      val current = tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("source"))
+      val updates = tbl(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          lit(null).cast("string").as("source"))
+      graft.ingest.PartialUpdate(current, updates, "doc_id")
+    }),
+
     "q_resume_antijoin" -> ((s, d) => {
       val events = tbl(s, d, "events")
       // partial ledger: only a third of the users are marked processed
@@ -426,6 +437,10 @@ object SparkEntry {
         |  SELECT user_id, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_partial_update" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang, source
+        | FROM documents""".stripMargin,
 
     "q_resume_antijoin" ->
       """SELECT user_id, count(*) AS n_pending FROM events e

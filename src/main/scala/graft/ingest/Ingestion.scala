@@ -107,6 +107,30 @@ object Upsert {
   }
 }
 
+object PartialUpdate {
+  /** Partial update by id (reference data_ingestion_requirements.md:86-101:
+    * a document carrying only `{id, age}` updates just the `age` field).
+    * Per shared column the update's non-null value wins; null means "not
+    * provided, keep existing" (the reference's JSON partial-update body
+    * simply omits untouched fields). Ids absent from `current` are ignored
+    * — the reference's bulk `update` action errors those items into the
+    * DLQ rather than inserting. One hash shuffle on the key (broadcast if
+    * the update batch is small — Spark picks by size).
+    */
+  def apply(current: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+    val updCols = updates.columns.toSet
+    require(updCols.contains(keyCol), s"updates must carry the key column $keyCol")
+    val joined = current.alias("c")
+      .join(updates.alias("u"), col(s"c.$keyCol") === col(s"u.$keyCol"), "left")
+    val cols = current.columns.map { c =>
+      if (c == keyCol) col(s"c.$keyCol").as(keyCol)
+      else if (updCols.contains(c)) coalesce(col(s"u.$c"), col(s"c.$c")).as(c)
+      else col(s"c.$c").as(c)
+    }
+    joined.select(cols.toIndexedSeq: _*)
+  }
+}
+
 object Ledger {
   /** Resume anti-join (reference bulkupdate.py:258-260): drop work units
     * already recorded in the ledger. Broadcast the ledger when small.

@@ -79,6 +79,26 @@ class IngestSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, "b"), (2L, 1L, "c")))
   }
 
+  test("partial update: non-null update fields win, nulls keep existing, unknown ids ignored (data_ingestion_requirements.md:86-101)") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, "alice", 30L, "CA"),
+      (2L, "bob", 40L, "NY"),
+      (3L, "carol", 50L, "TX")).toDF("id", "name", "age", "state")
+    // update 1's age only; update 2's state only; id 9 doesn't exist
+    val updates = Seq(
+      (1L, Some(31L), None: Option[String]),
+      (2L, None: Option[Long], Some("WA")),
+      (9L, Some(99L), Some("ZZ")))
+      .toDF("id", "age", "state")
+    val got = PartialUpdate(current, updates, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, "alice", 31L, "CA"),   // age updated, name/state untouched
+      (2L, "bob", 40L, "WA"),     // state updated, age kept (null in update)
+      (3L, "carol", 50L, "TX")))  // no update row
+  }
+
   test("resume anti-join skips ledgered work") {
     import spark.implicits._
     val work = Seq("f1", "f2", "f3", "f4").toDF("fileId")
