@@ -32,6 +32,12 @@ object Hash64 {
   * key-grouped shuffle whose groups are bounded (band buckets / hash
   * groups), never an O(n²) comparison. Exact pairwise verification only
   * runs inside candidate buckets.
+  *
+  * Caching: the sketch ops persist their single analyze pass
+  * (MEMORY_AND_DISK) because two or more plan branches consume it;
+  * persisted relations are released by Spark's LRU or session end —
+  * long-lived services interleaving many corpora should
+  * `spark.catalog.clearCache()` between runs.
   */
 object Dedup {
 
