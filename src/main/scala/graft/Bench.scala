@@ -86,6 +86,26 @@ object Bench {
     }).sorted
     val p50 = lats(lats.length / 2)
     val p95 = lats(math.min((lats.length * 0.95).toInt, lats.length - 1))
+
+    // ---- phase 2b: concurrent top-k throughput (the reference serves a
+    // web search UI — queries arrive concurrently; Spark's scheduler
+    // interleaves their jobs over the shared executor pool) ----
+    val qps = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val nq = 64
+      try {
+        val (_, sec) = timed {
+          Await.result(Future.sequence((0 until nq).map(i =>
+            Future(Wand.topK(spark, idx, latQueries(i % latQueries.size), 10).count()))),
+            Duration.Inf)
+        }
+        nq / sec
+      } finally pool.shutdown()
+    }
     spark.stop()
 
     // ---- phase 3: N vs 4N scaling on identical generated input.
@@ -135,7 +155,7 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""query_latency_ms":{"p50":${fmt(p50)},"p95":${fmt(p95)}},""" +
+        s""""query_latency_ms":{"p50":${fmt(p50)},"p95":${fmt(p95)},"concurrent_qps":${fmt(qps)}},""" +
         s""""index_build":{"bench_docs":$benchDocs,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
         s""""docs_per_sec_n":${fmt(dpsN)},"docs_per_sec_4n":${fmt(dps4N)},""" +
         s""""runs_n":${arr(series(nCores).toSeq)},"runs_4n":${arr(series(n4Cores).toSeq)},""" +

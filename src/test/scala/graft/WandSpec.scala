@@ -101,6 +101,24 @@ class WandSpec extends AnyFunSuite {
     bigDocs.unpersist()
   }
 
+  test("concurrent queries: 16 parallel topK calls match their sequential results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val qs = (0 until 16).map(i => queries(i % queries.size))
+      val sequential = qs.map(q => Wand.topK(spark, index, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      val concurrent = Await.result(
+        Future.sequence(qs.map(q => Future(Wand.topK(spark, index, q, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq))),
+        Duration.Inf)
+      assert(concurrent == sequential)
+    } finally pool.shutdown()
+  }
+
   test("fuzz: random index geometries and k values stay rank-identical") {
     val rnd = new scala.util.Random(77)
     val vocab = Corpus.vocabulary
