@@ -375,7 +375,10 @@ object Ann {
     // the raw candidate stream, and the surviving output is tiny. Past
     // broadcast size the verify joins become shuffles themselves, so
     // dedupe the (id,id) pairs first and join vectors once per pair.
-    if (nVecs <= 1000000L) verify(rawPairs, bcastVecs = true).distinct()
+    // Cutoff is BYTE-based (~64 MB of raw vector payload), not row-based —
+    // a row cutoff would happily broadcast gigabytes of wide embeddings.
+    val vecBytes = nVecs.toDouble * dim * 8
+    if (vecBytes <= 64e6) verify(rawPairs, bcastVecs = true).distinct()
     else verify(rawPairs.distinct(), bcastVecs = false)
   }
 }
