@@ -185,6 +185,28 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("simhashPairs equals brute-force Hamming over all pairs (sf0.01 ground truth)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val maxDist = 8
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = maxDist)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: exact O(N²) Hamming scan over the collected sketches
+    val sketches = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => (id, Dedup.simhash64(graft.analysis.Analyzer.tokenize(t))) }
+    val truth = (for {
+      i <- sketches.indices.iterator
+      j <- (i + 1) until sketches.length
+      if java.lang.Long.bitCount(sketches(i)._2 ^ sketches(j)._2) <= maxDist
+    } yield {
+      val (a, b) = (sketches(i)._1, sketches(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(truth.nonEmpty)
+    // pigeonhole banding is exact for <= maxDist: no misses, no extras
+    assert(got == truth, s"got=${got.size} truth=${truth.size}")
+  }
+
   test("ngram jaccard: default guard drops hot-shingle-only candidate pairs") {
     // every doc shares the ubiquitous shingle "x y z"; no other overlap
     val df = docs((1 to 30).map(i => (i.toLong, s"x y z u$i v$i w$i")): _*)
