@@ -106,6 +106,31 @@ object Bench {
         nq / sec
       } finally pool.shutdown()
     }
+
+    // ---- phase 2c: single-node serving tier (same segTopK kernel loaded
+    // in memory, no Spark job per query — how a shard server would run) ----
+    val (servingQps, servingQpsMt) = {
+      val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
+      serving.topK(latQueries.head, 10) // warm
+      val nq = 2000
+      val (_, sec1) = timed {
+        var i = 0
+        while (i < nq) { serving.topK(latQueries(i % latQueries.size), 10); i += 1 }
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val (_, secMt) = timed {
+        Await.result(Future.sequence((0 until 16).map(t => Future {
+          var i = 0
+          while (i < nq) { serving.topK(latQueries((t + i) % latQueries.size), 10); i += 1 }
+        })), Duration.Inf)
+      }
+      pool.shutdown()
+      (nq / sec1, 16.0 * nq / secMt)
+    }
     spark.stop()
 
     // ---- phase 3: N vs 4N scaling on identical generated input.
@@ -155,7 +180,8 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""query_latency_ms":{"p50":${fmt(p50)},"p95":${fmt(p95)},"concurrent_qps":${fmt(qps)}},""" +
+        s""""query_latency_ms":{"p50":${fmt(p50)},"p95":${fmt(p95)},"concurrent_qps":${fmt(qps)},""" +
+        s""""serving_qps":${fmt(servingQps)},"serving_qps_mt16":${fmt(servingQpsMt)}},""" +
         s""""index_build":{"bench_docs":$benchDocs,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
         s""""docs_per_sec_n":${fmt(dpsN)},"docs_per_sec_4n":${fmt(dps4N)},""" +
         s""""runs_n":${arr(series(nCores).toSeq)},"runs_4n":${arr(series(n4Cores).toSeq)},""" +

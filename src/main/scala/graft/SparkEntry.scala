@@ -45,6 +45,12 @@ object SparkEntry {
     Search.relevance(spark, idx, "spark index dup", k = 10)
   }
 
+  // ---- shared single-node serving tier per (JVM, sfDir) ----
+  private val servingCache = TrieMap.empty[String, graft.query.ServingIndex]
+  private[graft] def servingFor(s: SparkSession, dir: String): graft.query.ServingIndex =
+    servingCache.getOrElseUpdate(dir,
+      graft.query.Serving.open(indexFor(s, dir), maxBytes = 2L << 30))
+
   // deterministic BM25 presentation: exact-score ranking, rounded output
   private def bm25(s: SparkSession, dir: String, q: String, k: Int): DataFrame = {
     val hits = Wand.topK(s, indexFor(s, dir), q, k)
@@ -169,6 +175,12 @@ object SparkEntry {
     "q_bm25_mixed_top10" -> ((s, d) => bm25(s, d, "spark index dup", 10)),
     "q_bm25_head_top100" -> ((s, d) => bm25(s, d, "the data web", 100)),
     "q_bm25_rare_top10" -> ((s, d) => bm25(s, d, "dup", 10)),
+
+    // single-node serving tier: same segTopK kernel, no Spark job per
+    // query — must be bit-identical to the distributed WAND gate above
+    "q_bm25_serving_top10" -> ((s, d) =>
+      servingFor(s, d).topKDF(s, "spark index dup", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
     // J4: hit materialization — scored docIDs broadcast-joined to stored fields
     "q_bm25_hits" -> ((s, d) =>
@@ -397,6 +409,7 @@ object SparkEntry {
       "SELECT doc_id, lang FROM documents ORDER BY lang, doc_id LIMIT 10",
 
     "q_bm25_mixed_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
+    "q_bm25_serving_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_head_top100" -> bm25Sql(Seq("the", "data", "web"), 100),
     "q_bm25_rare_top10" -> bm25Sql(Seq("dup"), 10),
 

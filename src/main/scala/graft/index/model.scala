@@ -41,11 +41,16 @@ case class IndexStats(nDocs: Long, avgdl: Double, nTerms: Long, totalTokens: Lon
 
 case class DocMeta(doc_id: Long, url: String, doclen: Int, lang: String)
 
-/** Decoded posting cursor state used by the WAND evaluator. */
+/** Decoded posting cursor state used by the WAND evaluator.
+  * `decode` is pluggable: the distributed path decodes lazily per block
+  * load; the serving tier supplies a pre-decoded lookup so queries run
+  * allocation-free (the decode cost was paid once at index load).
+  */
 private[graft] final class TermPostings(
     val term: String,
     val idf: Double,
-    blocksIn: Array[PostingBlock]) {
+    blocksIn: Array[PostingBlock],
+    decode: PostingBlock => (Array[Long], Array[Long]) = TermPostings.decodeBlock) {
 
   val blocks: Array[PostingBlock] = blocksIn.sortBy(_.blk)
   /** Global upper bound for this term: idf * max block tfNorm. */
@@ -65,8 +70,9 @@ private[graft] final class TermPostings(
 
   private def loadBlock(i: Int): Unit = {
     val b = blocks(i)
-    docs = VByte.undeltas(b.firstDoc, Codecs.decode(b.codec, b.docDeltas, b.n))
-    tfsArr = Codecs.decode(b.codec, b.tfs, b.n)
+    val (d, t) = decode(b)
+    docs = d
+    tfsArr = t
     pos = 0
     blockIdx = i
   }
@@ -112,4 +118,11 @@ private[graft] final class TermPostings(
       else exhausted = true
     }
   }
+}
+
+private[graft] object TermPostings {
+  /** Default lazy block decode (the distributed path). */
+  def decodeBlock(b: PostingBlock): (Array[Long], Array[Long]) =
+    (VByte.undeltas(b.firstDoc, Codecs.decode(b.codec, b.docDeltas, b.n)),
+      Codecs.decode(b.codec, b.tfs, b.n))
 }

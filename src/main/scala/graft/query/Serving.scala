@@ -1,0 +1,120 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analysis.Analyzer
+import graft.index._
+
+/** In-memory single-node serving tier over a built index.
+  *
+  * Spark is the BUILD engine; serving interactive queries through Spark
+  * jobs pays ~100 ms of scheduling per search. A real deployment of this
+  * engine serves the way the reference's OpenSearch does: each shard
+  * server holds its slice of the postings in memory and answers locally.
+  * `ServingIndex` is that shard server in miniature — it loads one
+  * store's compressed postings/norms/terms (one Spark collect at open)
+  * and then answers top-k queries in pure JVM time through the SAME
+  * `Wand.segTopK` kernel the distributed path runs, so results are
+  * bit-identical to both the distributed WAND and the brute-force oracle.
+  *
+  * Scale contract: a serving node loads only what fits (`maxBytes`
+  * guard). At web scale the corpus is document-sharded across serving
+  * nodes exactly like the distributed path's segments — each node opens
+  * the slice the build wrote for it, and a router merges per-node top-ks
+  * (the TakeOrdered merge, over RPC instead of a Spark stage).
+  */
+final class ServingIndex private[query] (
+    postingsByTerm: java.util.HashMap[String, Array[PostingBlock]],
+    decoded: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])],
+    normsBySeg: java.util.HashMap[Integer, (Array[Long], Array[Int])],
+    termDf: java.util.HashMap[String, Long],
+    val stats: IndexStats,
+    val loadedBytes: Long) {
+
+  private val decodeFn: PostingBlock => (Array[Long], Array[Long]) = decoded.get(_)
+
+  /** Exact BM25 top-k; rank-identical to `Wand.topK` (same kernel, same
+    * tie-breaks, same fold order). Pure JVM — no Spark job.
+    */
+  def topK(query: String, k: Int): Array[(Long, Double)] = {
+    val qTerms = Analyzer.tokenize(query).distinct.sorted
+    val present = qTerms.filter(termDf.containsKey)
+    if (present.isEmpty || stats.nDocs == 0) return Array.empty
+    val idfs: Map[String, Double] =
+      present.map(t => t -> BM25.idf(stats.nDocs, termDf.get(t))).toMap
+
+    // group the query terms' blocks by segment (document shard)
+    val bySeg = new java.util.HashMap[Integer, java.util.ArrayList[PostingBlock]]()
+    present.foreach { t =>
+      val bs = postingsByTerm.get(t)
+      if (bs != null) bs.foreach { b =>
+        bySeg.computeIfAbsent(b.seg, _ => new java.util.ArrayList[PostingBlock]())
+          .add(b)
+      }
+    }
+
+    // per-segment WAND over PRE-DECODED postings/norms (no per-query
+    // decode allocations — the serving tier's RAM-for-CPU trade), then
+    // the same (score desc, docId asc) k-merge the distributed path's
+    // TakeOrderedAndProject performs
+    val heap = new TopKHeap(k)
+    bySeg.forEach { (seg, blocks) =>
+      val arr = blocks.toArray(new Array[PostingBlock](blocks.size()))
+      val (nDocs, nLens) = normsBySeg.get(seg)
+      def doclen(docId: Long): Long = {
+        val i = java.util.Arrays.binarySearch(nDocs, docId)
+        require(i >= 0, s"docId $docId missing from norms of seg $seg")
+        nLens(i).toLong
+      }
+      Wand.segTopKWith(arr, doclen, idfs, stats.avgdl, k, decodeFn)
+        .foreach { case (d, s) => heap.offer(d, s) }
+    }
+    heap.result().sortBy(t => (-t._2, t._1))
+  }
+
+  /** Top-k as a DataFrame (for the driver gate / hit materialization). */
+  def topKDF(spark: SparkSession, query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    topK(query, k).toSeq.toDF("doc_id", "score")
+  }
+}
+
+object Serving {
+
+  /** Load a committed index into serving memory. One Spark collect per
+    * table; refuses to load past `maxBytes` of posting payload — a bigger
+    * index belongs on more serving shards, not in one heap.
+    */
+  def open(spark: SparkSession, store: IndexStore,
+      maxBytes: Long = 2L << 30): ServingIndex = {
+    val idx = store.open(spark)
+    open(idx, maxBytes)
+  }
+
+  def open(idx: OpenIndex, maxBytes: Long): ServingIndex = {
+    val sliceBytes = idx.slices.map(_.bytes).sum
+    require(sliceBytes <= maxBytes,
+      s"index posting payload ($sliceBytes B) exceeds the serving budget " +
+        s"($maxBytes B); shard the corpus across more serving nodes")
+
+    val blocks = idx.postings.collect()
+    val byTerm = new java.util.HashMap[String, Array[PostingBlock]]()
+    blocks.groupBy(_.term).foreach { case (t, bs) => byTerm.put(t, bs) }
+    // pre-decode every block once: queries then run allocation-free, so
+    // concurrent serving threads scale instead of fighting the allocator
+    val decoded = new java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])]()
+    blocks.foreach(b => decoded.put(b, TermPostings.decodeBlock(b)))
+    val norms = new java.util.HashMap[Integer, (Array[Long], Array[Int])]()
+    idx.norms.collect().foreach { n =>
+      val ds = VByte.undeltas(n.firstDoc, VByte.decode(n.docDeltas, n.n))
+      val ls = Array.tabulate(n.n)(i => VByte.unpackIntAt(n.doclens, i))
+      norms.put(n.seg, (ds, ls))
+    }
+    val df = new java.util.HashMap[String, Long]()
+    idx.terms.collect().foreach(t => df.put(t.term, t.df))
+    // loaded footprint counts the DECODED payload (16 B/posting), the
+    // number that actually occupies serving heap
+    val bytes = blocks.iterator.map(b => b.n.toLong * 16 + 64).sum
+    new ServingIndex(byTerm, decoded, norms, df, idx.stats, bytes)
+  }
+}

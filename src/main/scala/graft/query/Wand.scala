@@ -96,12 +96,25 @@ object Wand {
       require(i >= 0, s"docId $docId missing from norms of seg ${nm.seg}")
       VByte.unpackIntAt(nm.doclens, i).toLong
     }
+    segTopKWith(blocks, doclen, idfs, avgdl, k, TermPostings.decodeBlock)
+  }
+
+  /** Kernel form with pluggable doclen lookup + block decoder — the
+    * serving tier passes pre-decoded lookups so queries allocate nothing.
+    */
+  private[query] def segTopKWith(
+      blocks: Array[PostingBlock],
+      doclen: Long => Long,
+      idfs: Map[String, Double],
+      avgdl: Double,
+      k: Int,
+      decode: PostingBlock => (Array[Long], Array[Long])): Array[(Long, Double)] = {
 
     val cursors: Array[TermPostings] = blocks
       .groupBy(_.term)
       .toArray
       .sortBy(_._1)
-      .map { case (term, bs) => new TermPostings(term, idfs(term), bs) }
+      .map { case (term, bs) => new TermPostings(term, idfs(term), bs, decode) }
 
     val heap = new TopKHeap(k)
     val active = scala.collection.mutable.ArrayBuffer.empty[TermPostings]

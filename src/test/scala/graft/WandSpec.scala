@@ -101,6 +101,20 @@ class WandSpec extends AnyFunSuite {
     bigDocs.unpersist()
   }
 
+  test("serving tier is bit-identical to distributed WAND for every query shape") {
+    val serving = graft.query.Serving.open(index, maxBytes = 2L << 30)
+    for (q <- queries; k <- Seq(10, 100)) {
+      val local = serving.topK(q, k).toSeq
+      val dist = Wand.topK(spark, index, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(local == dist, s"query='$q' k=$k\nserving=$local\ndistributed=$dist")
+    }
+    // serving budget guard refuses oversized loads
+    val e = intercept[IllegalArgumentException](
+      graft.query.Serving.open(index, maxBytes = 1L))
+    assert(e.getMessage.contains("serving budget"))
+  }
+
   test("concurrent queries: 16 parallel topK calls match their sequential results") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
