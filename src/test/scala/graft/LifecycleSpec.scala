@@ -29,12 +29,16 @@ class LifecycleSpec extends AnyFunSuite {
     assert(dump() == before)
 
     val idx = store.open(spark)
+    val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
     for (q <- Seq("the web crawl", "docmark42", "posting engine")) {
       val wand = Wand.topK(spark, idx, q, 20)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val oracle = OracleScorer.topK(spark, docs, q, 20)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(wand == oracle, s"post-compaction rank identity broke for '$q'")
+      // serving tier over the compacted (globally re-sorted) layout too
+      assert(serving.topK(q, 20).toSeq == oracle,
+        s"post-compaction serving identity broke for '$q'")
     }
   }
 
