@@ -49,7 +49,7 @@ object SparkEntry {
   private val servingCache = TrieMap.empty[String, graft.query.ServingIndex]
   private[graft] def servingFor(s: SparkSession, dir: String): graft.query.ServingIndex =
     servingCache.getOrElseUpdate(dir,
-      graft.query.Serving.open(indexFor(s, dir), maxBytes = 2L << 30))
+      graft.query.Serving.open(indexFor(s, dir), maxBytes = 2L << 30, withDocs = true))
 
   // deterministic BM25 presentation: exact-score ranking, rounded output
   private def bm25(s: SparkSession, dir: String, q: String, k: Int): DataFrame = {
@@ -181,6 +181,13 @@ object SparkEntry {
     "q_bm25_serving_top10" -> ((s, d) =>
       servingFor(s, d).topKDF(s, "spark index dup", 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // serving-side hit materialization: `_source + _score` from the
+    // serving node's in-memory doc store — same oracle as q_bm25_hits
+    "q_bm25_serving_hits" -> ((s, d) =>
+      servingFor(s, d).topKHitsDF(s, "spark index dup", 10)
+        .select(col("doc_id"), col("lang"), col("doclen").cast("long").as("doclen"),
+          round(col("score"), 4).as("score"))),
 
     // J4: hit materialization — scored docIDs broadcast-joined to stored fields
     "q_bm25_hits" -> ((s, d) =>
@@ -414,6 +421,13 @@ object SparkEntry {
     "q_bm25_rare_top10" -> bm25Sql(Seq("dup"), 10),
 
     "q_bm25_hits" -> {
+      val inner = bm25Sql(Seq("spark", "index", "dup"), 10)
+      s"""SELECT t.doc_id, d.lang,
+         |  len(regexp_extract_all(lower(d.text), '[\\p{L}\\p{N}]+')) AS doclen, t.score
+         | FROM ($inner) t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin
+    },
+
+    "q_bm25_serving_hits" -> {
       val inner = bm25Sql(Seq("spark", "index", "dup"), 10)
       s"""SELECT t.doc_id, d.lang,
          |  len(regexp_extract_all(lower(d.text), '[\\p{L}\\p{N}]+')) AS doclen, t.score

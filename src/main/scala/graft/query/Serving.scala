@@ -77,21 +77,50 @@ final class ServingIndex private[query] (
     import spark.implicits._
     topK(query, k).toSeq.toDF("doc_id", "score")
   }
+
+  // ---- hit materialization: the reference's `hits.hits[]._source + _score`
+  // response shape, answered from the serving node's doc store ----
+  private var docStore: java.util.HashMap[Long, DocMeta] = _
+
+  /** Load the doc-metadata store for `_source` materialization (optional —
+    * id-only responses don't need it). Same budget philosophy: at scale
+    * the doc store is the serving shard's own slice.
+    */
+  private[query] def loadDocs(docs: Array[DocMeta]): Unit = {
+    val m = new java.util.HashMap[Long, DocMeta](docs.length * 2)
+    docs.foreach(d => m.put(d.doc_id, d))
+    docStore = m
+  }
+
+  /** Scored hits with stored fields (requires `withDocs` at open). */
+  def topKHits(query: String, k: Int): Array[Serving.Hit] = {
+    require(docStore != null, "serving index opened without docs; use withDocs = true")
+    topK(query, k).map { case (id, score) =>
+      val d = docStore.get(id)
+      require(d != null, s"docId $id missing from the serving doc store")
+      Serving.Hit(id, d.url, d.lang, d.doclen, score)
+    }
+  }
+
+  def topKHitsDF(spark: SparkSession, query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    topKHits(query, k).toSeq.toDF()
+  }
 }
 
 object Serving {
+
+  /** The `hits.hits[]._source + _score` response row. */
+  case class Hit(doc_id: Long, url: String, lang: String, doclen: Int, score: Double)
 
   /** Load a committed index into serving memory. One Spark collect per
     * table; refuses to load past `maxBytes` of posting payload — a bigger
     * index belongs on more serving shards, not in one heap.
     */
-  def open(spark: SparkSession, store: IndexStore,
-      maxBytes: Long = 2L << 30): ServingIndex = {
-    val idx = store.open(spark)
-    open(idx, maxBytes)
-  }
+  def open(spark: SparkSession, store: IndexStore, maxBytes: Long): ServingIndex =
+    open(store.open(spark), maxBytes)
 
-  def open(idx: OpenIndex, maxBytes: Long): ServingIndex = {
+  def open(idx: OpenIndex, maxBytes: Long, withDocs: Boolean = false): ServingIndex = {
     val sliceBytes = idx.slices.map(_.bytes).sum
     require(sliceBytes <= maxBytes,
       s"index posting payload ($sliceBytes B) exceeds the serving budget " +
@@ -115,6 +144,15 @@ object Serving {
     // loaded footprint counts the DECODED payload (16 B/posting), the
     // number that actually occupies serving heap
     val bytes = blocks.iterator.map(b => b.n.toLong * 16 + 64).sum
-    new ServingIndex(byTerm, decoded, norms, df, idx.stats, bytes)
+    val si = new ServingIndex(byTerm, decoded, norms, df, idx.stats, bytes)
+    if (withDocs) {
+      import org.apache.spark.sql.functions.col
+      val spark = idx.docs.sparkSession
+      import spark.implicits._
+      si.loadDocs(idx.docs
+        .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+        .as[DocMeta].collect())
+    }
+    si
   }
 }
