@@ -44,6 +44,12 @@ class PipelineSpec extends AnyFunSuite {
     // duplicates kept the min-id representative: doc 200+ never indexed
     val all = Search.termSearch(idx.docs, Map.empty, size = Int.MaxValue)
     assert(all.agg(max(col("doc_id"))).head().getLong(0) < 200L)
+
+    // the whole flow composes down to the serving tier
+    val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30, withDocs = true)
+    val servingHits = serving.topKHits("n7 spark", 5)
+    assert(servingHits.nonEmpty && servingHits.head.doc_id == 7L)
+    assert(servingHits.head.url == "doc://7")
   }
 
   test("clean: language filter keeps only requested langId guesses") {

@@ -115,6 +115,20 @@ class WandSpec extends AnyFunSuite {
     assert(e.getMessage.contains("serving budget"))
   }
 
+  test("serving hit materialization equals the distributed relevance join") {
+    val serving = graft.query.Serving.open(index, maxBytes = 2L << 30, withDocs = true)
+    val q = "the web crawl"
+    val local = serving.topKHits(q, 10)
+      .map(h => (h.doc_id, h.url, h.lang, h.doclen.toLong, h.score)).toSeq
+    val dist = graft.query.Search.relevance(spark, index, q, k = 10)
+      .select("doc_id", "url", "lang", "doclen", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getAs[Number](3).longValue(), r.getDouble(4)))
+      .toSeq
+    assert(local == dist)
+  }
+
   test("concurrent queries: 16 parallel topK calls match their sequential results") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
