@@ -63,28 +63,60 @@ object Pipeline {
   }
 
   /** Full run: clean → build the index into `store` → report per-stage
-    * drop counts (each count rides the same cleaning pass shapes; the
-    * stage counts cost three extra scan-cheap aggregates, no new wide op).
+    * drop counts. Stage attribution rides the cleaning pass itself as an
+    * `Observation` (stage-flag sums folded into the scan — no extra
+    * corpus passes), and `keptDocs` counts only the slices THIS build
+    * committed, so a resumed or reused store never inflates the report.
     */
   def ingestAndIndex(
       spark: SparkSession,
       docs: DataFrame,
       store: IndexStore,
       cfg: Config = Config()): Report = {
-    val input = docs.count()
+    import org.apache.spark.sql.Observation
 
-    val afterQuality =
-      if (cfg.minQuality > 0.0)
-        docs.filter(TextStats.qualityScore(col("text")) >= cfg.minQuality).count()
-      else input
-    val afterLang =
-      if (cfg.keepLangs.nonEmpty)
-        clean(docs, cfg.copy(dedup = false)).count()
-      else afterQuality
+    // stage flags as columns: one scan computes input/quality/lang counts
+    val qualOk =
+      if (cfg.minQuality > 0.0) TextStats.qualityScore(col("text")) >= cfg.minQuality
+      else lit(true)
+    val langOk =
+      if (cfg.keepLangs.nonEmpty) TextStats.langId(col("text")).isin(cfg.keepLangs: _*)
+      else lit(true)
 
-    val cleaned = clean(docs, cfg)
+    val obs = Observation()
+    val flagged = docs
+      .withColumn("__q", qualOk)
+      .withColumn("__l", langOk)
+      .observe(obs,
+        count(lit(1)).as("input"),
+        coalesce(sum(when(col("__q"), 1L)), lit(0L)).as("after_quality"),
+        coalesce(sum(when(col("__q") && col("__l"), 1L)), lit(0L)).as("after_lang"))
+      .filter(col("__q") && col("__l"))
+      .drop("__q", "__l")
+
+    // kept = rows that survive cleaning, observed on the SAME pass —
+    // independent of whatever slices the store already held (a resumed or
+    // reused root must never inflate the report)
+    val keptObs = Observation()
+    val deduped =
+      if (!cfg.dedup) flagged
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+        flagged.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+      }
+    val cleaned = deduped.observe(keptObs, count(lit(1)).as("kept"))
+
     IndexBuilder.build(spark, cleaned, store, cfg.index)
-    val kept = store.committedSlices.map(_.docs).sum
+
+    // the build's jobs completed the observed scan — metrics are ready
+    val m = obs.get
+    val input = m("input").asInstanceOf[Long]
+    val afterQuality = m("after_quality").asInstanceOf[Long]
+    val afterLang = m("after_lang").asInstanceOf[Long]
+    val kept = keptObs.get("kept").asInstanceOf[Long]
 
     Report(
       inputDocs = input,

@@ -139,6 +139,34 @@ object SparkEntry {
         col("geo_str.lon").as("lon"))
     }),
 
+    // object/nested mapping types: JSON-object and JSON-array columns
+    // coerce to struct / array<struct> with null-on-malformed — closes the
+    // reference's type table (data_ingestion_requirements.md:104-123).
+    // The JSON is synthesized from the table's own columns, so the oracle
+    // is the round-trip identity (no DuckDB JSON functions needed).
+    "q_coerce_nested" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val raw = tbl(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("{not valid json"))
+          .otherwise(concat(lit("{\"lang\": \""), col("lang"),
+            lit("\", \"n\": "), col("n_chars"), lit("}"))).as("obj_str"),
+        concat(lit("[{\"v\": "), col("doc_id") % 5,
+          lit("}, {\"v\": "), col("doc_id") % 3, lit("}]")).as("arr_str"))
+      val typed = Coerce.withMapping(raw, Map(
+        "doc_id" -> Coerce.LongField,
+        "obj_str" -> Coerce.ObjectField(
+          new StructType().add("lang", StringType).add("n", LongType)),
+        "arr_str" -> Coerce.NestedField(new StructType().add("v", LongType))))
+      typed.select(
+        col("doc_id"),
+        col("obj_str.lang").as("j_lang"),
+        col("obj_str.n").as("j_n"),
+        element_at(col("arr_str"), 1).getField("v").as("v1"),
+        element_at(col("arr_str"), 2).getField("v").as("v2"),
+        size(col("arr_str")).cast("long").as("n_elems"))
+    }),
+
     // ---- P: term / prefix / match-all query surface (§2.2) ----
     "q_term_filter" -> ((s, d) =>
       Search.termSearch(
@@ -383,6 +411,15 @@ object SparkEntry {
         |  string_split(geo_str, ',')[1]::DOUBLE AS lat,
         |  string_split(geo_str, ',')[2]::DOUBLE AS lon
         |FROM raw""".stripMargin,
+
+    "q_coerce_nested" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS j_lang,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS j_n,
+        |  doc_id % 5 AS v1,
+        |  doc_id % 3 AS v2,
+        |  2::BIGINT AS n_elems
+        |FROM documents""".stripMargin,
 
     "q_term_filter" ->
       """SELECT doc_id, lang, source FROM documents

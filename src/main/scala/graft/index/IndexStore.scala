@@ -94,9 +94,16 @@ final class IndexStore(val root: String) {
     val nDocs = spark.read.parquet(slicePath("docs", newId)).count()
     val agg = spark.read.parquet(slicePath("postings", newId))
       .agg(fsum("n"), cnt(lit(1))).head()
+    // real on-disk posting bytes (like the builder's dirBytes) — a zero
+    // here would let any compacted index slip past serving memory budgets
+    val postingBytes = {
+      val p = Paths.get(slicePath("postings", newId))
+      if (!Files.exists(p)) 0L
+      else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+    }
     val meta = SliceMeta(newId, old.map(_.segLo).min, old.map(_.segHi).max,
       nDocs, agg.getLong(0), agg.getLong(1),
-      0L, System.currentTimeMillis())
+      postingBytes, System.currentTimeMillis())
     commitReplaceAll(meta)
     // best-effort cleanup of superseded slice files
     old.foreach { s =>

@@ -27,42 +27,71 @@ object FileIngest {
 
   private val Corrupt = "_corrupt_record"
 
-  /** Explicit file-order row index: contiguous zipWithIndex over the
-    * parsed rows ((partition, offset) order — splits are byte-offset
-    * ordered, so this is the file's physical row order). Used as the
-    * upsert tiebreak instead of `monotonically_increasing_id`, whose
-    * sparse per-partition values encode the same order less auditably.
+  /** Explicit file-order key: `monotonically_increasing_id()` is
+    * (partitionIndex << 33 | offset), and for a single file's scan the
+    * partition index follows byte-offset split order — so the value is
+    * monotone in the file's physical row order, the only property the
+    * upsert tiebreak needs (contiguity is not). Stays in the Dataset API
+    * and costs zero extra jobs, unlike rdd.zipWithIndex (which runs a
+    * whole pass just to count partition sizes).
     */
-  private def withRowOrder(df: DataFrame, colName: String): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema.add(colName, org.apache.spark.sql.types.LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+  private def withRowOrder(df: DataFrame, colName: String): DataFrame =
+    df.withColumn(colName, monotonically_increasing_id())
 
   /** Parse one file (csv/json by extension, case-insensitive — the
     * reference's extension predicate, file_processor.py:85-86) into
-    * (goodRows, failedCount).
+    * (goodRows, failedCount). Thin wrapper over the record-level form.
     */
   def parseFile(spark: SparkSession, path: String): (DataFrame, Long) = {
+    val (good, failed, cache) = parseFileWithFailures(spark, path)
+    val bad = failed.count()
+    if (bad == 0) cache.foreach(_.unpersist(blocking = false))
+    (good, bad)
+  }
+
+  /** Parse one file into (goodRows, failedRecords, cacheHandle). The
+    * failed-records frame carries the malformed rows THEMSELVES
+    * (sourceFile, docJson, errorType, errorReason) — the reference routes
+    * failed documents with their error payloads into the DLQ
+    * (file_processor.py:263-413), never just a count. CSV reads force the
+    * corrupt-record channel by re-reading with inferred-schema + corrupt
+    * column (inference alone may silently widen instead of flagging).
+    * The caller must unpersist `cacheHandle` after consuming both frames.
+    */
+  def parseFileWithFailures(
+      spark: SparkSession, path: String): (DataFrame, DataFrame, Option[DataFrame]) = {
+    import org.apache.spark.sql.types.{StringType, StructType}
     val lower = path.toLowerCase(java.util.Locale.ROOT)
-    val raw =
-      if (lower.endsWith(".csv"))
-        spark.read.option("header", "true").option("inferSchema", "true")
+    val (raw, kind) =
+      if (lower.endsWith(".csv")) {
+        val inferred = spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(path).schema
+        (spark.read.option("header", "true")
+          .schema(inferred.add(Corrupt, StringType))
           .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", Corrupt)
-          .csv(path)
-      else if (lower.endsWith(".json"))
-        spark.read.option("multiLine", "true") // object or array-of-objects
+          .csv(path), "csv")
+      } else if (lower.endsWith(".json"))
+        (spark.read.option("multiLine", "true") // object or array-of-objects
           .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", Corrupt)
-          .json(path)
+          .json(path), "json")
       else throw new IllegalArgumentException(s"unsupported file type: $path")
     if (raw.columns.contains(Corrupt)) {
       val cached = raw.cache()
-      val bad = cached.filter(col(Corrupt).isNotNull).count()
-      (cached.filter(col(Corrupt).isNull).drop(Corrupt), bad)
-    } else (raw, 0L)
+      val failed = cached.filter(col(Corrupt).isNotNull).select(
+        lit(path).as("sourceFile"),
+        col(Corrupt).cast(StringType).as("docJson"),
+        lit("parse_error").as("errorType"),
+        lit(s"malformed $kind row").as("errorReason"))
+      (cached.filter(col(Corrupt).isNull).drop(Corrupt), failed, Some(cached))
+    } else {
+      val failedSchema = new StructType()
+        .add("sourceFile", StringType).add("docJson", StringType)
+        .add("errorType", StringType).add("errorReason", StringType)
+      (raw,
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), failedSchema),
+        None)
+    }
   }
 
   /** Full ingestion of a set of files into a parquet "index" table.
@@ -93,7 +122,7 @@ object FileIngest {
         reports += FileReport(f, 0L, 0L, "skipped")
       } else {
         try {
-          val (good, bad) = parseFile(spark, f)
+          val (good, failedRecs, cacheHandle) = parseFileWithFailures(spark, f)
           val coerced = Coerce.documents(good)
           val deduped =
             if (coerced.columns.contains("id"))
@@ -103,11 +132,12 @@ object FileIngest {
             else coerced
           val n = deduped.count()
           deduped.write.mode("append").parquet(targetPath)
-          if (bad > 0) {
-            Seq((f, bad, "parse_error", "malformed row quarantined"))
-              .toDF("sourceFile", "failedRows", "errorType", "errorReason")
-              .write.mode("append").parquet(dlqPath)
-          }
+          // quarantine the failed RECORDS (content + error metadata,
+          // 230 KB-chunked), not a count row — a user debugging a bad
+          // batch needs the documents back (file_processor.py:263-413)
+          val bad = failedRecs.count()
+          if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
+          cacheHandle.foreach(_.unpersist(blocking = false))
           Seq(f).toDF("file").write.mode("append").parquet(ledgerPath)
           processed += n
           failed += bad

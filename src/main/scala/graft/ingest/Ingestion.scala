@@ -37,6 +37,14 @@ object Coerce {
   case object BooleanField extends FieldType  // true/false/1/0, case-insensitive
   case object IpField extends FieldType       // validated dotted quad, else null
   case object GeoPointField extends FieldType // "lat,lon" or struct → struct(lat,lon)
+  /** `object` mapping type: a JSON object column → StructType
+    * (data_ingestion_requirements.md:104-123). Unparseable → null.
+    */
+  final case class ObjectField(schema: StructType) extends FieldType
+  /** `nested` mapping type: a JSON array-of-objects column →
+    * ArrayType(StructType). Unparseable → null.
+    */
+  final case class NestedField(elementSchema: StructType) extends FieldType
 
   private val IpRegex =
     "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
@@ -61,6 +69,18 @@ object Coerce {
     case IpField      =>
       val s = trim(c.cast(StringType))
       when(s.rlike(IpRegex), s).otherwise(lit(null).cast(StringType))
+    case ObjectField(schema) =>
+      // PERMISSIVE from_json yields an all-null struct (not null) for
+      // malformed objects; routing the corrupt record into a sentinel
+      // field and nulling on it restores the null-on-malformed contract
+      // the scalar types follow
+      val corrupt = "__graft_corrupt"
+      val parsed = from_json(c.cast(StringType), schema.add(corrupt, StringType),
+        Map("columnNameOfCorruptRecord" -> corrupt))
+      when(parsed.getField(corrupt).isNull, parsed.dropFields(corrupt))
+    case NestedField(elementSchema) =>
+      // array root: unparseable input yields null directly
+      from_json(c.cast(StringType), ArrayType(elementSchema))
     case GeoPointField =>
       // get() (0-based) is null-safe out of bounds, unlike element_at
       val parts = split(trim(c.cast(StringType)), ",")
@@ -117,11 +137,23 @@ object PartialUpdate {
     * DLQ rather than inserting. One hash shuffle on the key (broadcast if
     * the update batch is small — Spark picks by size).
     */
-  def apply(current: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
+  def apply(current: DataFrame, updates: DataFrame, keyCol: String,
+      orderCols: Seq[String] = Seq.empty): DataFrame = {
     val updCols = updates.columns.toSet
     require(updCols.contains(keyCol), s"updates must carry the key column $keyCol")
+    // The reference applies bulk update actions per document — last wins
+    // (file_processor.py:248-257). A DataFrame carries no row order, so the
+    // batch is deduplicated by key first: by `orderCols` desc when the
+    // caller has a real ordering, else by the remaining columns as a
+    // deterministic tiebreak (duplicate keys would otherwise duplicate the
+    // document in the output via the join).
+    val tiebreak = if (orderCols.nonEmpty) orderCols
+      else updates.columns.filterNot(_ == keyCol).toSeq
+    val dedupedUpdates =
+      if (tiebreak.isEmpty) updates.distinct()
+      else Upsert.lastWriteWins(updates, keyCol, tiebreak)
     val joined = current.alias("c")
-      .join(updates.alias("u"), col(s"c.$keyCol") === col(s"u.$keyCol"), "left")
+      .join(dedupedUpdates.alias("u"), col(s"c.$keyCol") === col(s"u.$keyCol"), "left")
     val cols = current.columns.map { c =>
       if (c == keyCol) col(s"c.$keyCol").as(keyCol)
       else if (updCols.contains(c)) coalesce(col(s"u.$c"), col(s"c.$c")).as(c)
@@ -168,6 +200,30 @@ object Guardrails {
       else Proceed
     }
   }
+
+  /** Existence-guarded alias switch (reference switch_alias.py:271-296):
+    * the alias must exist, both indices must exist, and the alias must
+    * currently point at the expected source — checked BEFORE the count
+    * guards, mirroring the reference's validation order. Forgetting any of
+    * these re-creates the reference's guarded failure modes unguarded.
+    */
+  def validateSwitchCatalog(
+      catalog: graft.index.AliasCatalog,
+      alias: String,
+      src: graft.index.IndexStore,
+      tgt: graft.index.IndexStore,
+      srcCount: Long,
+      tgtCount: Long,
+      thresholdPct: Double = DefaultDriftThresholdPct): SwitchDecision =
+    catalog.resolve(alias) match {
+      case None => Abort(s"alias '$alias' does not exist")
+      case Some(cur) =>
+        if (!src.exists) Abort(s"source index ${src.root} does not exist")
+        else if (!tgt.exists) Abort(s"target index ${tgt.root} does not exist")
+        else if (cur != src.root)
+          Abort(s"alias '$alias' points at $cur, not the expected source ${src.root}")
+        else validateSwitch(src.root, tgt.root, srcCount, tgtCount, thresholdPct)
+    }
 }
 
 object Cleanup {
@@ -229,6 +285,26 @@ object Dlq {
   def write(spark: SparkSession, failed: Seq[FailedRecord], path: String): Unit = {
     import spark.implicits._
     failed.toDF().write.mode("append").parquet(path)
+  }
+
+  /** Quarantine failed records distributed, applying the 230 KB part
+    * contract per record (file_processor.py:304-366): each row of `failed`
+    * (sourceFile, docJson, errorType, errorReason) becomes one or more
+    * (part, totalParts)-numbered DLQ rows with the document content
+    * retrievable. Scan-shaped — no shuffle.
+    */
+  def writeRecords(failed: DataFrame, path: String, maxBytes: Int = MaxPayloadBytes): Unit = {
+    val spark = failed.sparkSession
+    import spark.implicits._
+    failed.select("sourceFile", "docJson", "errorType", "errorReason")
+      .as[(String, String, String, String)]
+      .flatMap { case (src, doc, et, er) =>
+        chunk(Option(doc).getOrElse(""), maxBytes).map { case (p, t, payload) =>
+          (src, payload, p, t, et, er)
+        }
+      }
+      .toDF("sourceFile", "docJson", "part", "totalParts", "errorType", "errorReason")
+      .write.mode("append").parquet(path)
   }
 }
 

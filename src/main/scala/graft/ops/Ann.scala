@@ -299,7 +299,18 @@ object Ann {
   def lshNearDupPairs(df: DataFrame, threshold: Double,
       nPlanes: Int = 0, nTables: Int = 12, probeBits: Int = 1,
       seed: Long = 42L, maxBucket: Int = 4096,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      onDrops: DropStats => Unit = DropStats.logDrops): DataFrame = {
+    val (out, cached, obs) = lshNearDupPairsPlan(df, threshold, nPlanes, nTables,
+      probeBits, seed, maxBucket, idCol, vecCol)
+    CacheScope.seal(out, cached, obs, onDrops)
+  }
+
+  private[graft] def lshNearDupPairsPlan(df: DataFrame, threshold: Double,
+      nPlanes: Int = 0, nTables: Int = 12, probeBits: Int = 1,
+      seed: Long = 42L, maxBucket: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
     require(nPlanes >= 0 && nPlanes <= 28, "nPlanes must be in [0, 28]")
     require(probeBits >= 0 && probeBits <= 1, "probeBits 0 or 1 supported")
     val spark = df.sparkSession
@@ -343,6 +354,12 @@ object Ann {
     val okKeys = entries.groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket))
       .select("key")
+    // over-cap buckets are dropped LOUDLY: a count-only aggregate over the
+    // persisted entries, reported by CacheScope.seal next to the result
+    val dropsDf = entries.groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .agg(count(lit(1)).as("dropped_groups"),
+        coalesce(sum(col("n")), lit(0L)).as("dropped_entries"))
     // The pair join EXPANDS: small inputs, huge output. Left alone, AQE
     // coalesces the byte-small input to one partition and broadcast-joins
     // it — the quadratic expansion then runs on a single core. An explicit
@@ -378,7 +395,9 @@ object Ann {
     // Cutoff is BYTE-based (~64 MB of raw vector payload), not row-based —
     // a row cutoff would happily broadcast gigabytes of wide embeddings.
     val vecBytes = nVecs.toDouble * dim * 8
-    if (vecBytes <= 64e6) verify(rawPairs, bcastVecs = true).distinct()
-    else verify(rawPairs.distinct(), bcastVecs = false)
+    val out =
+      if (vecBytes <= 64e6) verify(rawPairs, bcastVecs = true).distinct()
+      else verify(rawPairs.distinct(), bcastVecs = false)
+    (out, Seq(vecs, entries), Some(dropsDf))
   }
 }

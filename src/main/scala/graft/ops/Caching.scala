@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Drop accounting for bounded sketch modes (`maxBucket` / `maxShingleDf`):
+  * "covered everything" and "dropped the hottest bucket" must be
+  * distinguishable to the caller — silent caps are forbidden.
+  *
+  * `droppedGroups` = buckets/shingles over the bound; `droppedEntries` =
+  * the (id, key) rows inside them that never became candidates.
+  */
+case class DropStats(droppedGroups: Long, droppedEntries: Long)
+
+object DropStats {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[DropStats])
+
+  /** Default handler: WARN when anything was dropped, debug-quiet otherwise. */
+  val logDrops: DropStats => Unit = s =>
+    if (s.droppedGroups > 0)
+      log.warn(s"bounded sketch mode dropped ${s.droppedGroups} over-cap groups " +
+        s"(${s.droppedEntries} entries); raise the cap for exact coverage")
+}
+
+/** Scoped cache lifetime for the sketch ops (minhash/simhash/ngram/LSH):
+  * each op persists its analyze pass because several plan branches consume
+  * it, but a long-lived session running many ops (the driver's 41-query
+  * bench JVM) must not accumulate block-manager state — so the op
+  * materializes its (small) output, releases the persisted bases, and
+  * returns the result as a local relation.
+  *
+  * Outputs above `MaterializeCapRows` (never at gate scale; conceivable at
+  * web scale) fall back to returning the lazy plan with the bases still
+  * persisted — the documented big-corpus mode, released by the caller via
+  * `spark.catalog.clearCache()` between corpora.
+  */
+private[ops] object CacheScope {
+  final val MaterializeCapRows: Int = 1 << 20
+
+  /** Run `out`, report drop metrics, release `cached`, return the result.
+    * `drops` is a 1-row (dropped_groups, dropped_entries) aggregate over
+    * the op's persisted base — a count-only partial-agg job, run after the
+    * main action so the persisted base is already hot. (An `observe` on
+    * the capped relation would be free, but AQE's empty-relation
+    * propagation prunes the executed CollectMetrics stage from the final
+    * plan whenever the capped result is empty — exactly the all-dropped
+    * case the metrics exist to expose — so the explicit job it is.)
+    */
+  def seal(
+      out: DataFrame,
+      cached: Seq[DataFrame],
+      drops: Option[DataFrame],
+      onDrops: DropStats => Unit,
+      capRows: Int = MaterializeCapRows): DataFrame = {
+    val spark = out.sparkSession
+    val rows = out.take(capRows + 1)
+    drops.foreach { d =>
+      val r = d.head()
+      onDrops(DropStats(r.getLong(0), r.getLong(1)))
+    }
+    if (rows.length <= capRows) {
+      cached.foreach(_.unpersist(blocking = true))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } else out
+  }
+}

@@ -34,10 +34,15 @@ object Hash64 {
   * runs inside candidate buckets.
   *
   * Caching: the sketch ops persist their single analyze pass
-  * (MEMORY_AND_DISK) because two or more plan branches consume it;
-  * persisted relations are released by Spark's LRU or session end —
-  * long-lived services interleaving many corpora should
-  * `spark.catalog.clearCache()` between runs.
+  * (MEMORY_AND_DISK) because two or more plan branches consume it, then
+  * materialize their (small) output and RELEASE the persisted bases
+  * before returning (`CacheScope.seal`) — a long-lived session running
+  * many ops never accumulates block-manager state. Outputs past the
+  * materialization cap fall back to a lazy plan with the bases persisted
+  * (released via `spark.catalog.clearCache()`), preserving scale-out.
+  *
+  * Bounded modes (`maxBucket`, `maxShingleDf`) report what they dropped
+  * through `onDrops` (default: log WARN) — never a silent cap.
   */
 object Dedup {
 
@@ -86,7 +91,16 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, m: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, seed: Long = 42L,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      onDrops: DropStats => Unit = DropStats.logDrops): DataFrame = {
+    val (out, cached, obs) =
+      minhashLshPlan(df, idCol, textCol, shingleK, m, bands, threshold, seed, maxBucket)
+    CacheScope.seal(out, cached, obs, onDrops)
+  }
+
+  private[graft] def minhashLshPlan(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, m: Int, bands: Int, threshold: Double, seed: Long,
+      maxBucket: Int): (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
     val spark = df.sparkSession
     import spark.implicits._
     require(m % bands == 0, "m must divide into bands")
@@ -118,6 +132,15 @@ object Dedup {
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
 
+    // drop accounting: buckets past maxBucket are capped, not silent. A
+    // count-only partial-agg pass over the persisted base (cheap — no
+    // collect_list payload), reported by CacheScope.seal next to the result.
+    val dropsDf = banded
+      .groupBy("band", "bhash").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .agg(count(lit(1)).as("dropped_groups"),
+        coalesce(sum(col("n")), lit(0L)).as("dropped_entries"))
+
     val pairs = buckets
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
@@ -130,7 +153,7 @@ object Dedup {
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
     val sets = base.select("id", "sh").join(candIds, Seq("id"), "left_semi")
-    pairs
+    val out = pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -138,6 +161,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, Seq(base), Some(dropsDf))
   }
 
   /** All unordered pairs (a < b) of a (small, capped) bucket array.
@@ -177,6 +201,12 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    val (out, cached) = simhashPairsPlan(df, idCol, textCol, maxDist)
+    CacheScope.seal(out, cached, None, DropStats.logDrops)
+  }
+
+  private[graft] def simhashPairsPlan(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBands = maxDist + 1
@@ -205,12 +235,13 @@ object Dedup {
       col("id").as("id_a"), col("sim").as("sim_a")).hint("shuffle_hash")
     val b = sides.select(col("band"), col("key"),
       col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "key"))
+    val out = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    (out, Seq(banded))
   }
 
   /** Exact n-gram Jaccard similarity pairs via a shingle inverted index:
@@ -227,7 +258,16 @@ object Dedup {
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.5,
-      maxShingleDf: Long = DefaultMaxShingleDf): DataFrame = {
+      maxShingleDf: Long = DefaultMaxShingleDf,
+      onDrops: DropStats => Unit = DropStats.logDrops): DataFrame = {
+    val (out, cached, obs) =
+      ngramJaccardPairsPlan(df, idCol, textCol, shingleK, threshold, maxShingleDf)
+    CacheScope.seal(out, cached, obs, onDrops)
+  }
+
+  private[graft] def ngramJaccardPairsPlan(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, threshold: Double, maxShingleDf: Long)
+      : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: consumed by the df-guard, both self-join sides, and the
@@ -242,12 +282,21 @@ object Dedup {
       .toDF("id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val filtered =
-      if (maxShingleDf == Long.MaxValue) docShingles
+    // hot shingles are guarded out loudly, never silently: the dropped-
+    // shingle aggregate reuses the persisted shingle relation (seal runs
+    // it as a tiny count-only job next to the result)
+    val (filtered, dropsDf) =
+      if (maxShingleDf == Long.MaxValue) (docShingles, None)
       else {
         val dfCounts = docShingles.groupBy("shingle")
           .agg(count(lit(1)).as("sdf")).filter(col("sdf") <= maxShingleDf)
-        docShingles.join(dfCounts.select("shingle"), Seq("shingle"), "left_semi")
+        val drops = docShingles.groupBy("shingle")
+          .agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") > maxShingleDf)
+          .agg(count(lit(1)).as("dropped_groups"),
+            coalesce(sum(col("sdf")), lit(0L)).as("dropped_entries"))
+        (docShingles.join(dfCounts.select("shingle"), Seq("shingle"), "left_semi"),
+          Some(drops): Option[DataFrame])
       }
 
     val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
@@ -264,12 +313,13 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
 
-    inter
+    val out = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (out, Seq(docShingles), dropsDf)
   }
 }

@@ -17,21 +17,80 @@ import graft.index._
   * `Wand.segTopK` kernel the distributed path runs, so results are
   * bit-identical to both the distributed WAND and the brute-force oracle.
   *
-  * Scale contract: a serving node loads only what fits (`maxBytes`
-  * guard). At web scale the corpus is document-sharded across serving
-  * nodes exactly like the distributed path's segments — each node opens
-  * the slice the build wrote for it, and a router merges per-node top-ks
-  * (the TakeOrdered merge, over RPC instead of a Spark stage).
+  * Scale contract: `maxBytes` budgets the DECODED postings footprint. A
+  * slice that fits is fully pre-decoded (allocation-free queries); a
+  * larger slice serves through a bounded decoded-block cache — partial
+  * pre-decode, same bit-identical results. At web scale the corpus is
+  * document-sharded across serving nodes exactly like the distributed
+  * path's segments — each node opens the slice the build wrote for it,
+  * and a router merges per-node top-ks (the TakeOrdered merge, over RPC
+  * instead of a Spark stage).
   */
+/** Decoded-postings storage policy for a serving node. Both policies
+  * answer through the same kernel, so results are bit-identical; they
+  * differ only in RAM-vs-CPU trade.
+  */
+private[query] sealed trait BlockCache {
+  def get(b: PostingBlock): (Array[Long], Array[Long])
+  def loadedBytes: Long
+}
+
+/** Everything pre-decoded at open: queries run allocation-free (the
+  * mt-throughput mode — per-query decode allocations make 16 threads
+  * SLOWER than 1, GC-bound). Requires the decoded slice to fit the budget.
+  */
+private[query] final class FullDecodeCache(blocks: Array[PostingBlock]) extends BlockCache {
+  private val m = new java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])](blocks.length * 2)
+  blocks.foreach(b => m.put(b, TermPostings.decodeBlock(b)))
+  val loadedBytes: Long = blocks.iterator.map(Serving.decodedBytes).sum
+  def get(b: PostingBlock): (Array[Long], Array[Long]) = m.get(b)
+}
+
+/** Bounded decoded-block cache: a slice whose decoded footprint exceeds
+  * the budget serves with partial pre-decode instead of refusing. Lookups
+  * are lock-free ConcurrentHashMap reads (warm-set queries stay close to
+  * full-pre-decode throughput); misses decode on demand and evict in FIFO
+  * insertion order until back under budget. Bit-identity is unconditional
+  * — eviction only changes WHERE the decode happens.
+  */
+private[query] final class LruDecodeCache(budget: Long) extends BlockCache {
+  private val m = new java.util.concurrent.ConcurrentHashMap[PostingBlock, (Array[Long], Array[Long])]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[PostingBlock]()
+  private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def get(b: PostingBlock): (Array[Long], Array[Long]) = {
+    val hit = m.get(b)
+    if (hit != null) return hit
+    val d = TermPostings.decodeBlock(b)
+    val prev = m.putIfAbsent(b, d)
+    if (prev != null) return prev
+    order.add(b)
+    var cur = bytes.addAndGet(Serving.decodedBytes(b))
+    while (cur > budget) {
+      val victim = order.poll()
+      if (victim == null) return d // nothing left to evict
+      if (m.remove(victim) != null) cur = bytes.addAndGet(-Serving.decodedBytes(victim))
+      else cur = bytes.get() // another thread evicted it — re-read
+    }
+    d
+  }
+  def loadedBytes: Long = bytes.get()
+}
+
 final class ServingIndex private[query] (
     postingsByTerm: java.util.HashMap[String, Array[PostingBlock]],
-    decoded: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])],
+    cache: BlockCache,
     normsBySeg: java.util.HashMap[Integer, (Array[Long], Array[Int])],
     termDf: java.util.HashMap[String, Long],
-    val stats: IndexStats,
-    val loadedBytes: Long) {
+    val stats: IndexStats) {
 
-  private val decodeFn: PostingBlock => (Array[Long], Array[Long]) = decoded.get(_)
+  def loadedBytes: Long = cache.loadedBytes
+  /** True when the decoded slice exceeded the budget and the node serves
+    * through the bounded cache (partial pre-decode).
+    */
+  val bounded: Boolean = cache.isInstanceOf[LruDecodeCache]
+
+  private val decodeFn: PostingBlock => (Array[Long], Array[Long]) = cache.get(_)
 
   /** Exact BM25 top-k; rank-identical to `Wand.topK` (same kernel, same
     * tie-breaks, same fold order). Pure JVM — no Spark job.
@@ -113,26 +172,33 @@ object Serving {
   /** The `hits.hits[]._source + _score` response row. */
   case class Hit(doc_id: Long, url: String, lang: String, doclen: Int, score: Double)
 
+  /** Decoded heap footprint of one posting block: two long arrays of n
+    * (docIDs + tfs) plus object headers — the number that actually
+    * occupies serving heap, NOT the compressed on-disk bytes the manifest
+    * records (and compaction used to record as 0).
+    */
+  private[query] def decodedBytes(b: PostingBlock): Long = b.n.toLong * 16 + 64
+
   /** Load a committed index into serving memory. One Spark collect per
-    * table; refuses to load past `maxBytes` of posting payload — a bigger
-    * index belongs on more serving shards, not in one heap.
+    * table. The budget governs the DECODED postings footprint (estimated
+    * from posting counts, which every manifest — compacted or not —
+    * preserves): a slice that fits is fully pre-decoded (allocation-free
+    * queries, the mt-throughput mode); a larger slice serves through the
+    * bounded decoded-block cache instead of refusing. The compressed
+    * blocks themselves must fit the heap either way — a corpus beyond
+    * that belongs on more serving shards.
     */
   def open(spark: SparkSession, store: IndexStore, maxBytes: Long): ServingIndex =
     open(store.open(spark), maxBytes)
 
   def open(idx: OpenIndex, maxBytes: Long, withDocs: Boolean = false): ServingIndex = {
-    val sliceBytes = idx.slices.map(_.bytes).sum
-    require(sliceBytes <= maxBytes,
-      s"index posting payload ($sliceBytes B) exceeds the serving budget " +
-        s"($maxBytes B); shard the corpus across more serving nodes")
-
     val blocks = idx.postings.collect()
     val byTerm = new java.util.HashMap[String, Array[PostingBlock]]()
     blocks.groupBy(_.term).foreach { case (t, bs) => byTerm.put(t, bs) }
-    // pre-decode every block once: queries then run allocation-free, so
-    // concurrent serving threads scale instead of fighting the allocator
-    val decoded = new java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])]()
-    blocks.foreach(b => decoded.put(b, TermPostings.decodeBlock(b)))
+    val estDecoded = blocks.iterator.map(decodedBytes).sum
+    val cache: BlockCache =
+      if (estDecoded <= maxBytes) new FullDecodeCache(blocks)
+      else new LruDecodeCache(maxBytes)
     val norms = new java.util.HashMap[Integer, (Array[Long], Array[Int])]()
     idx.norms.collect().foreach { n =>
       val ds = VByte.undeltas(n.firstDoc, VByte.decode(n.docDeltas, n.n))
@@ -141,10 +207,7 @@ object Serving {
     }
     val df = new java.util.HashMap[String, Long]()
     idx.terms.collect().foreach(t => df.put(t.term, t.df))
-    // loaded footprint counts the DECODED payload (16 B/posting), the
-    // number that actually occupies serving heap
-    val bytes = blocks.iterator.map(b => b.n.toLong * 16 + 64).sum
-    val si = new ServingIndex(byTerm, decoded, norms, df, idx.stats, bytes)
+    val si = new ServingIndex(byTerm, cache, norms, df, idx.stats)
     if (withDocs) {
       import org.apache.spark.sql.functions.col
       val spark = idx.docs.sparkSession

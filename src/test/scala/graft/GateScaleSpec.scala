@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup}
+
+/** Gate-scale invariant pins (sf0.1 — the largest corpus the driver
+  * touches): several gates are checked against EXACT oracles on premises
+  * that are probabilistic or corpus-dependent —
+  *   - `q_emb_near_dup_lsh` / `q_dedup_minhash_lsh` assume LSH recall is
+  *     exactly 1 on this corpus at the default probe settings;
+  *   - `q_dedup_ngram_jaccard_bounded` assumes no shingle's df exceeds
+  *     the default guard, making the bound a no-op.
+  * Those premises are asserted HERE at the actual gate scale, so a future
+  * corpus or parameter change fails with a clear message instead of a
+  * confusing oracle hash mismatch. (lshNearDupPairs auto-scales nPlanes
+  * with N, so sf0.01 pins alone would not cover the sf0.1 behavior.)
+  */
+class GateScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.1"
+
+  test("emb near-dup LSH recall is exactly 1 at gate scale (sf0.1)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Ann.nearDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshNearDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"q_emb_near_dup_lsh's exact oracle premise broke at gate scale: " +
+        s"lsh=${lsh.size} exact=${exact.size} missing=${(exact -- lsh).take(5)}")
+  }
+
+  test("minhash LSH equals exact ngram jaccard at gate scale (sf0.1)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 3, m = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, maxShingleDf = Long.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(mh == exact,
+      s"q_dedup_minhash_lsh's exact oracle premise broke at gate scale: " +
+        s"minhash=${mh.size} exact=${exact.size}")
+  }
+
+  test("no shingle df exceeds the default guard at gate scale (sf0.1)") {
+    import spark.implicits._
+    val maxDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, t) =>
+        Dedup.shingles(graft.analysis.Analyzer.tokenize(t), 3).distinct.toSeq
+      }
+      .groupByKey(identity).count()
+      .map(_._2).reduce(math.max)
+    assert(maxDf <= Dedup.DefaultMaxShingleDf,
+      s"hottest shingle df=$maxDf exceeds the default guard " +
+        s"(${Dedup.DefaultMaxShingleDf}) — q_dedup_ngram_jaccard_bounded's " +
+        "shared oracle premise no longer holds")
+  }
+}

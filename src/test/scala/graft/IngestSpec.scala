@@ -62,6 +62,28 @@ class IngestSpec extends AnyFunSuite {
     assert(geo(got(3)).isEmpty && geo(got(4)).isEmpty)
   }
 
+  test("object/nested mapping types: JSON → struct / array<struct>, null on malformed") {
+    import spark.implicits._
+    import Coerce._
+    val df = Seq(
+      ("""{"a": 1, "b": "x"}""", """[{"v": 1}, {"v": 2}]"""),
+      ("not json at all", "also not json"),
+      ("""{"a": 2}""", "[]"))
+      .toDF("obj", "arr")
+    val st = new StructType(Array(
+      StructField("a", LongType), StructField("b", StringType)))
+    val got = withMapping(df, Map(
+      "obj" -> ObjectField(st),
+      "arr" -> NestedField(new StructType(Array(StructField("v", LongType))))))
+      .collect()
+    assert(got(0).getStruct(0).getLong(0) == 1L)
+    assert(got(0).getStruct(0).getString(1) == "x")
+    assert(got(0).getSeq[Row](1).map(_.getLong(0)) == Seq(1L, 2L))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1)) // unparseable → null
+    assert(got(2).getStruct(0).getLong(0) == 2L && got(2).getStruct(0).isNullAt(1))
+    assert(got(2).getSeq[Row](1).isEmpty)
+  }
+
   test("recreate settings filter strips engine-assigned keys (index_cleanup.py:172-176)") {
     val settings = Map(
       "number_of_shards" -> "3", "number_of_replicas" -> "1",
@@ -97,6 +119,48 @@ class IngestSpec extends AnyFunSuite {
       (1L, "alice", 31L, "CA"),   // age updated, name/state untouched
       (2L, "bob", 40L, "WA"),     // state updated, age kept (null in update)
       (3L, "carol", 50L, "TX")))  // no update row
+  }
+
+  test("partial update: duplicate keys in the update batch apply last-wins, no row inflation") {
+    import spark.implicits._
+    val current = Seq((1L, "alice", 30L), (2L, "bob", 40L)).toDF("id", "name", "age")
+    // two updates for id 1: with an order column the later one wins
+    val updates = Seq((1L, 1L, Some(31L)), (1L, 2L, Some(32L)), (2L, 1L, None: Option[Long]))
+      .toDF("id", "seq", "age")
+    val got = PartialUpdate(current, updates.select("id", "age"), "id",
+      orderCols = Seq.empty) // deterministic tiebreak over non-key cols
+    assert(got.count() == 2, "duplicate update keys must not inflate the output")
+    val ordered = PartialUpdate(current, updates, "id", orderCols = Seq("seq"))
+      .select("id", "name", "age")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ordered == Set((1L, "alice", 32L), (2L, "bob", 40L)))
+  }
+
+  test("alias switch existence guards (switch_alias.py:271-296)") {
+    import Guardrails._
+    import graft.index.IndexStore
+    val dir = Files.createTempDirectory("graft-guard-").toString
+    val cat = new AliasCatalog(dir)
+    val src = new IndexStore(s"$dir/src")
+    val tgt = new IndexStore(s"$dir/tgt")
+    // alias missing
+    assert(validateSwitchCatalog(cat, "live", src, tgt, 100, 100) ==
+      Abort("alias 'live' does not exist"))
+    cat.set("live", src.root)
+    // indices missing (no committed manifest yet)
+    assert(validateSwitchCatalog(cat, "live", src, tgt, 100, 100).isInstanceOf[Abort])
+    src.commitSlice(graft.index.SliceMeta(0, 0, 0, 100, 0, 0, 0, 0))
+    assert(validateSwitchCatalog(cat, "live", src, tgt, 100, 100) ==
+      Abort(s"target index ${tgt.root} does not exist"))
+    tgt.commitSlice(graft.index.SliceMeta(0, 0, 0, 100, 0, 0, 0, 0))
+    // alias points elsewhere
+    cat.set("live", tgt.root)
+    assert(validateSwitchCatalog(cat, "live", src, tgt, 100, 100) ==
+      Abort(s"alias 'live' points at ${tgt.root}, not the expected source ${src.root}"))
+    // the happy path falls through to the count guards
+    cat.set("live", src.root)
+    assert(validateSwitchCatalog(cat, "live", src, tgt, 100, 100) == Proceed)
+    assert(validateSwitchCatalog(cat, "live", src, tgt, 100, 80).isInstanceOf[Abort])
   }
 
   test("resume anti-join skips ledgered work") {

@@ -78,6 +78,28 @@ class LifecycleSpec extends AnyFunSuite {
     assert(spark.read.parquet(target).count() == 4)
   }
 
+  test("DLQ carries the failed records themselves — content retrievable, counts unchanged") {
+    val dir = Files.createTempDirectory("graft-dlqrec-").toString
+    val csv = s"$dir/m.csv"
+    // row 2 has extra tokens → corrupt under the 3-column schema
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "id,name,value\n1,alice,10.5\n2,bob,oops,EXTRA,COLS\n3,carol,30.0\n")
+    val s = FileIngest.ingest(spark, Seq(csv), s"$dir/t", s"$dir/l", s"$dir/dlq")
+    assert(s.failedRows == 1)
+    assert(s.processedRows == 2)
+    assert(s.files.head.status == "partial")
+    // the DLQ row is the malformed document itself with error metadata and
+    // part numbering (file_processor.py:263-413), not a count row
+    val rec = spark.read.parquet(s"$dir/dlq").collect()
+    assert(rec.length == 1)
+    val r = rec(0)
+    assert(r.getAs[String]("docJson") == "2,bob,oops,EXTRA,COLS")
+    assert(r.getAs[String]("sourceFile") == csv)
+    assert(r.getAs[Int]("part") == 1 && r.getAs[Int]("totalParts") == 1)
+    assert(r.getAs[String]("errorType") == "parse_error")
+    assert(r.getAs[String]("errorReason").contains("csv"))
+  }
+
   test("indexed prefix search matches the brute-force prefix predicate") {
     val docs = Corpus.pages(spark, 500)
       .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))

@@ -222,13 +222,59 @@ class OpsSpec extends AnyFunSuite {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " altA altB altC"
     val df = docs((1L, base), (2L, near), (3L, "some unrelated words entirely"))
-    val res = Dedup.minhashLsh(df, "doc_id", "text", shingleK = 3, m = 128,
-      bands = 32, threshold = 0.5)
-    val plan = res.queryExecution.executedPlan.toString
+    // the unsealed plan (the public op materializes + releases its caches):
     // both the banding branch and the verify branch must scan the cached
     // (id, shingles, signature) relation instead of re-tokenizing
+    val (out, cached, _) = Dedup.minhashLshPlan(df, "doc_id", "text", shingleK = 3,
+      m = 128, bands = 32, threshold = 0.5, seed = 42L, maxBucket = 64)
+    val plan = out.queryExecution.executedPlan.toString
     assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan.take(2000))
+    cached.foreach(_.unpersist(blocking = true))
+    val res = Dedup.minhashLsh(df, "doc_id", "text", shingleK = 3, m = 128,
+      bands = 32, threshold = 0.5)
     assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("sketch ops leave no persisted relations behind (scoped cache lifetime)") {
+    import spark.implicits._
+    val df = docs((1 to 40).map(i => (i.toLong, s"alpha beta gamma d$i e$i f$i")): _*)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLsh(df, "doc_id", "text").count()
+    Dedup.simhashPairs(df, "doc_id", "text").count()
+    Dedup.ngramJaccardPairs(df, "doc_id", "text").count()
+    Ann.lshNearDupPairs(emb, threshold = 0.4).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"ops left persisted RDDs behind: $leaked")
+  }
+
+  test("bounded modes report dropped groups (no silent caps)") {
+    // 12 identical docs: every band's bucket holds all 12 ids, so a
+    // maxBucket of 8 must drop exactly `bands` buckets of 12 entries each
+    val dups = docs((1 to 12).map(i => (i.toLong, "same text for every doc here")): _*)
+    var minhashDrops = DropStats(0, 0)
+    val mh = Dedup.minhashLsh(dups, "doc_id", "text", shingleK = 3, m = 128,
+      bands = 16, threshold = 0.5, maxBucket = 8, onDrops = minhashDrops = _)
+    assert(mh.count() == 0, "all candidates lived in over-cap buckets")
+    assert(minhashDrops == DropStats(16, 16L * 12), s"got $minhashDrops")
+
+    // hot shingle "x y z" has df 30 > 5: one dropped shingle, 30 entries
+    val hot = docs((1 to 30).map(i => (i.toLong, s"x y z u$i v$i w$i")): _*)
+    var ngramDrops = DropStats(0, 0)
+    Dedup.ngramJaccardPairs(hot, "doc_id", "text", shingleK = 3,
+      threshold = 0.05, maxShingleDf = 5, onDrops = ngramDrops = _).count()
+    assert(ngramDrops == DropStats(1, 30), s"got $ngramDrops")
+
+    // identical vectors concentrate in one bucket per (table, probe) key
+    import spark.implicits._
+    val sameVecs = (1 to 10).map(i => (i.toLong, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    var annDrops = DropStats(0, 0)
+    val nd = Ann.lshNearDupPairs(sameVecs, threshold = 0.9, nPlanes = 4,
+      maxBucket = 4, onDrops = annDrops = _)
+    assert(nd.count() == 0)
+    assert(annDrops.droppedGroups > 0 && annDrops.droppedEntries >= 10,
+      s"got $annDrops")
   }
 
   test("ANN IVF: deterministic training, high recall vs brute force") {

@@ -52,6 +52,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(servingHits.head.url == "doc://7")
   }
 
+  test("ingestAndIndex: reused store does not inflate keptDocs (observed cleaned count)") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, s"document number n$i talks about spark indexes and the web for it"))
+      .toDF("doc_id", "text")
+      .withColumn("url", concat(lit("doc://"), col("doc_id")))
+      .withColumn("lang", lit("en"))
+    val store = new IndexStore(Files.createTempDirectory("graft-pipe2-").toString)
+    // plant a pre-existing committed slice claiming 9999 docs: the report
+    // must reflect THIS run's cleaned corpus, not the store's history
+    store.commitSlice(graft.index.SliceMeta(7, 0, 0, 9999L, 0, 0, 0, 0))
+    val cfg = Pipeline.Config(
+      index = graft.index.IndexBuilder.Config(segSize = 64, blockSize = 16, slices = 1))
+    val r1 = Pipeline.ingestAndIndex(spark, docs, store, cfg)
+    assert(r1.keptDocs == 50 && r1.droppedDuplicates == 0, r1)
+    // and a repeat run into the same root reports identically
+    val r2 = Pipeline.ingestAndIndex(spark, docs, store, cfg)
+    assert(r2 == r1, r2)
+  }
+
   test("clean: language filter keeps only requested langId guesses") {
     import spark.implicits._
     val docs = Seq(

@@ -59,7 +59,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("lshNearDupPairs plans equality joins only — no cartesian product") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val p = plan(graft.ops.Ann.lshNearDupPairs(emb, threshold = 0.4))
+    // the unsealed plan: the public op materializes + releases its caches,
+    // so the scale-shape guard inspects the plan the op executes internally
+    val p = plan(graft.ops.Ann.lshNearDupPairsPlan(emb, threshold = 0.4)._1)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"near-dup scale path must never plan a cross join:\n$p")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)

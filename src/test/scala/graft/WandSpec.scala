@@ -109,10 +109,36 @@ class WandSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(local == dist, s"query='$q' k=$k\nserving=$local\ndistributed=$dist")
     }
-    // serving budget guard refuses oversized loads
-    val e = intercept[IllegalArgumentException](
-      graft.query.Serving.open(index, maxBytes = 1L))
-    assert(e.getMessage.contains("serving budget"))
+  }
+
+  test("bounded decoded-block cache: over-budget slice serves bit-identically") {
+    val full = graft.query.Serving.open(index, maxBytes = 2L << 30)
+    assert(!full.bounded)
+    // budget below the decoded footprint → LRU mode, partial pre-decode;
+    // sized to hold only a fraction of the slice so eviction actually runs
+    val lru = graft.query.Serving.open(index, maxBytes = full.loadedBytes / 4)
+    assert(lru.bounded)
+    for (q <- queries; k <- Seq(10, 100)) {
+      assert(lru.topK(q, k).toSeq == full.topK(q, k).toSeq, s"query='$q' k=$k")
+    }
+    assert(lru.loadedBytes <= full.loadedBytes / 4,
+      s"cache exceeded its budget: ${lru.loadedBytes}")
+    // warm-set throughput sanity (interleaved best-of-5 under VM noise):
+    // repeated queries hit the cache, so the bounded mode must stay within
+    // a small factor of full pre-decode — not fall back to per-query decode
+    val warmQ = queries.head
+    def best(s: graft.query.ServingIndex): Double =
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 200) { s.topK(warmQ, 10); i += 1 }
+        200.0 / ((System.nanoTime() - t0) / 1e9)
+      }.max
+    best(full); best(lru) // JIT warm both paths
+    val (qpsFull, qpsLru) = (best(full), best(lru))
+    info(f"warm qps: full=$qpsFull%.0f lru=$qpsLru%.0f ratio=${qpsLru / qpsFull}%.2f")
+    assert(qpsLru >= qpsFull / 4,
+      f"bounded cache too slow on the warm set: $qpsLru%.0f vs $qpsFull%.0f")
   }
 
   test("serving hit materialization equals the distributed relevance join") {
