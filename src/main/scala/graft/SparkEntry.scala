@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import graft.analysis.{functions => ga}
 import graft.index.{IndexBuilder, IndexStore, OpenIndex}
 import graft.ingest.{Coerce, Ledger, Upsert}
-import graft.ops.{Ann, Dedup, TextStats}
+import graft.ops.{Ann, Curation, Dedup, TextStats}
 import graft.query.{Search, Wand}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -351,6 +351,32 @@ object SparkEntry {
       Ann.lshNearDupPairs(tbl(s, d, "embeddings"), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))),
 
+    // ---- Corpus curation (training-data pipeline) ----
+    // test-set decontamination: every 50th doc plays the benchmark set;
+    // corpus docs sharing ≥2 distinct 3-gram shingles with it are flagged
+    "q_decontaminate" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", shingleK = 3, minOverlap = 2L)
+    }),
+
+    // deterministic stratified sampling (domain mixing): fixed-hash keep
+    // decision — same documents every rebuild, any partitioning
+    "q_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(
+        tbl(s, d, "documents").select(col("doc_id"), col("lang")),
+        strataCol = "lang", idCol = "doc_id",
+        fractions = Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)),
+
+    // fixed-window sequence chunking with stride (overlap = window-stride)
+    "q_chunk_windows" -> ((s, d) =>
+      Curation.chunkWindows(tbl(s, d, "documents"), "doc_id", "text",
+        window = 64, stride = 32)
+        .select(col("doc_id"), col("win_id").cast("long").as("win_id"),
+          col("chunk"), col("n_tokens"))),
+
     // ---- Text analysis ----
     "q_token_count" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
@@ -556,6 +582,31 @@ object SparkEntry {
     // corpus at the default probe settings (OpsSpec pins the invariant),
     // so the exact-pairs oracle applies verbatim
     "q_emb_near_dup_lsh" -> embNearDupSql,
+
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(greatest(len(t) - 2, 1)),
+         |    i -> CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+         |              ELSE t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] END)) AS s
+         |  FROM (SELECT doc_id, $tokSql AS t FROM documents) WHERE len(t) > 0),
+         |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+         |SELECT doc_id, count(*)::BIGINT AS n_hits
+         |FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) c JOIN bsh USING (s)
+         |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        | WHERE (doc_id % 100003) * 2654435761 % 1000 <
+        |   CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""".stripMargin,
+
+    "q_chunk_windows" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |w AS (SELECT doc_id, t, unnest(range(CASE WHEN len(t) <= 64 THEN 1
+         |        ELSE ((len(t) - 64 + 31) // 32) + 1 END)) AS win_id FROM base)
+         |SELECT doc_id, win_id::BIGINT AS win_id,
+         |  array_to_string(t[win_id*32+1 : win_id*32+64], ' ') AS chunk,
+         |  greatest(least(64, len(t) - win_id*32), 0)::BIGINT AS n_tokens
+         |FROM w""".stripMargin,
 
     "q_token_count" ->
       s"SELECT doc_id, len($tokSql) AS n_tokens FROM documents",

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.{functions => ga}
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/quality: benchmark decontamination, deterministic
+  * stratified sampling (domain mixing), and fixed-window sequence
+  * chunking. All three are scan-shaped or broadcast-joined — no corpus
+  * shuffle — so they compose into the cleaning pass at any scale.
+  */
+object Curation {
+
+  /** Test-set decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word `k`-gram shingles with ANY benchmark
+    * document (the standard n-gram overlap rule for removing eval
+    * contamination from pretraining data).
+    *
+    * Scale shape: benchmark sets are small (thousands of examples), so
+    * their distinct shingle set rides a broadcast join; the corpus side
+    * is one scan-shaped flatMap. The only shuffle is the per-doc overlap
+    * count, over the matched (doc, shingle) pairs — a vanishing fraction
+    * of the corpus when contamination is rare (always at web scale).
+    *
+    * Returns (idCol, n_hits) for flagged documents.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3, minOverlap: Long = 1L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def shingleRows(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        Dedup.shingles(graft.analysis.Analyzer.tokenize(t), shingleK).distinct
+          .map(s => (id, s))
+      }
+      .toDF("id", "shingle")
+    val benchShingles = shingleRows(benchmark).select("shingle").distinct()
+    shingleRows(corpus)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+      .select(col("id").as(idCol), col("n_hits"))
+  }
+
+  /** Deterministic stratified sampling for domain mixing: keep a
+    * per-stratum fraction of rows, decided by a fixed hash of the id —
+    * reproducible across runs, partitionings, and engines, unlike
+    * Bernoulli RNG sampling (`df.sampleBy`), and exactly the property a
+    * training-mix spec needs ("30% of web, 100% of wiki" must mean the
+    * SAME documents every rebuild). Pure filter: scan-shaped, pushes
+    * into the source when the columns allow.
+    *
+    * The hash is `((id mod 100003) * 2654435761) mod 1000 < frac*1000`
+    * (Knuth multiplicative on a prime-bounded id; all arithmetic exact in
+    * 64-bit — cross-engine reproducible by construction). Fractions are
+    * quantized to 1/1000.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    val bucket = hashBucket(col(idCol))
+    val thresh = fractions.foldLeft(lit((defaultFraction * 1000).toInt): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * 1000).toInt)).otherwise(acc)
+    }
+    df.filter(bucket < thresh)
+  }
+
+  /** The sampling hash bucket in [0, 1000) — exposed so oracle SQL can
+    * mirror it verbatim.
+    */
+  def hashBucket(id: Column): Column =
+    (id.cast("long") % 100003L) * 2654435761L % 1000L
+
+  /** Fixed-size token windows with stride (training sequence chunking):
+    * each document explodes into ceil((len - window)/stride) + 1 windows
+    * of at most `window` tokens starting every `stride` tokens (overlap =
+    * window - stride). Scan-shaped: tokenize + per-row explode, no
+    * shuffle; window construction is a codegen'd array slice.
+    *
+    * Returns (idCol, win_id, chunk, n_tokens).
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 32): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = ga.tokenize(col(textCol))
+    val n = size(toks)
+    // ceil((n - window) / stride) + 1, floored at 1 window (short/empty
+    // docs); floor() because Column `/` is double division
+    val nWin = when(n <= window, lit(1))
+      .otherwise(floor((n - window + stride - 1) / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), nWin.as("__nwin"))
+      .select(col(idCol), col("__toks"),
+        posexplode(expr("sequence(0, __nwin - 1)")).as(Seq("win_id", "__i")))
+      .select(
+        col(idCol),
+        col("win_id"),
+        concat_ws(" ", slice(col("__toks"), col("win_id") * stride + 1, lit(window)))
+          .as("chunk"),
+        greatest(least(lit(window), size(col("__toks")) - col("win_id") * stride), lit(0))
+          .cast("long").as("n_tokens"))
+  }
+}

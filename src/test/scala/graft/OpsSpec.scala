@@ -277,6 +277,61 @@ class OpsSpec extends AnyFunSuite {
       s"got $annDrops")
   }
 
+  test("decontaminate: n-gram overlap with the benchmark set flags exactly the leaked docs") {
+    // doc 1 shares the benchmark 3-grams "a b c"+"b c d" (2 hits, flagged);
+    // doc 2 shares only "a b c" (1 hit, below minOverlap=2); doc 3 clean
+    val corpus = docs(
+      (1L, "a b c d x y"),
+      (2L, "a b c q r s"),
+      (3L, "u v w x y z"))
+    val bench = docs((100L, "a b c d"))
+    val got = Curation.decontaminate(corpus, bench, "doc_id", "text",
+      shingleK = 3, minOverlap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L))
+    val loose = Curation.decontaminate(corpus, bench, "doc_id", "text",
+      shingleK = 3, minOverlap = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L))
+  }
+
+  test("stratified sample: deterministic fixed-hash keep decision, per-stratum fractions") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val fr = Map("en" -> 0.5, "de" -> 0.1)
+    def run() = Curation.stratifiedSample(df, "lang", "doc_id", fr)
+      .select("doc_id").as[Long].collect().toSet
+    val first = run()
+    assert(run() == first, "same input must keep the SAME documents")
+    // membership matches the documented hash rule exactly
+    def bucket(id: Long) = (id % 100003L) * 2654435761L % 1000L
+    val expect = (0L until 2000L).filter { i =>
+      bucket(i) < (if (i % 3 == 0) 500 else 100)
+    }.toSet
+    assert(first == expect)
+    // fractions land near spec (hash equidistribution)
+    val en = first.count(_ % 3 == 0).toDouble / (0L until 2000L).count(_ % 3 == 0)
+    assert(math.abs(en - 0.5) < 0.1, s"en fraction $en")
+  }
+
+  test("chunk windows: exact stride/window arithmetic incl. short and empty docs") {
+    val df = docs(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens, window 4 stride 2 → 3 windows
+      (2L, "a b"),                  // short → 1 window of 2
+      (3L, ""))                     // empty → 1 window of 0
+    val got = Curation.chunkWindows(df, "doc_id", "text", window = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4L),
+      (1L, 1, "t3 t4 t5 t6", 4L),
+      (1L, 2, "t5 t6 t7", 3L),
+      (2L, 0, "a b", 2L),
+      (3L, 0, "", 0L)))
+  }
+
   test("ANN IVF: deterministic training, high recall vs brute force") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
