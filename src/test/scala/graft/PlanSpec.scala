@@ -74,6 +74,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("decontaminate broadcasts the benchmark shingles — corpus side scan-shaped") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ops.Curation.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("wand topK issues no terms-table job (driver-side stats) and one blocks shuffle") {
     val idx = SparkEntry.indexFor(spark, sf)
     assert(idx.termsLocal.nonEmpty, "bounded vocab must resolve driver-side")
