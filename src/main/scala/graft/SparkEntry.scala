@@ -317,6 +317,14 @@ object SparkEntry {
         shingleK = 3, m = 128, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
+    // pairs → clusters → representative: the KEEP/DROP step of the dedup
+    // pipeline (connected components by min-label propagation)
+    "q_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, threshold = 0.5, maxShingleDf = Long.MaxValue)
+      Dedup.components(pairs).select(col("id").as("doc_id"), col("rep_id"))
+    }),
+
     "q_dedup_simhash" -> ((s, d) => // no SQL oracle: 64-bit sketch arithmetic
       Dedup.simhashPairs(tbl(s, d, "documents"), "doc_id", "text", maxDist = 8)),
 
@@ -393,6 +401,12 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"))),
+
+    // Gopher-rule repetition signals: top-2-gram fraction + dup-token ratio
+    "q_repetition" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        round(TextStats.topBigramFraction(col("text")), 6).as("top_bigram_frac"),
+        round(TextStats.dupTokenRatio(col("text")), 6).as("dup_token_ratio"))),
 
     "q_fingerprint" -> ((s, d) =>
       tbl(s, d, "documents").select(col("doc_id"),
@@ -564,6 +578,18 @@ object SparkEntry {
     // equals the exact n-gram Jaccard oracle
     "q_dedup_minhash_lsh" -> ngramJaccardSql,
 
+    // transitive closure of the near-dup pairs; component rep = min id
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE pairs AS ($ngramJaccardSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b))::BIGINT AS rep_id
+         |FROM reach GROUP BY a""".stripMargin,
+
     "q_ann_brute_topk" ->
       """SELECT query_id, nbr_id, round(cos, 4) AS cosine, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -640,6 +666,21 @@ object SparkEntry {
          |          ELSE len(list_filter(t, x -> x IN ('the','a','of','to','and','in','is','it','for','on')))::DOUBLE / len(t) END) * 4.0, 1.0)
          | , 6) AS quality
          | FROM (SELECT doc_id, text, $tokSql AS t FROM documents)""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+         |         i -> t[i+1] || ' ' || t[i+2])) AS b
+         |       FROM base WHERE len(t) >= 2),
+         |m AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS frac FROM (
+         |        SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+         |      GROUP BY doc_id)
+         |SELECT base.doc_id,
+         |  round(coalesce(m.frac, 0.0), 6) AS top_bigram_frac,
+         |  round(CASE WHEN len(t) = 0 THEN 0.0
+         |        ELSE 1.0 - len(list_distinct(t))::DOUBLE / len(t) END, 6)
+         |    AS dup_token_ratio
+         |FROM base LEFT JOIN m USING (doc_id)""".stripMargin,
 
     "q_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($tokSql, ' ')) AS fp FROM documents",

@@ -174,6 +174,62 @@ object Dedup {
           y -> struct(least(x, y) AS _1, greatest(x, y) AS _2))))
     """)
 
+  /** Connected components over near-duplicate pairs — the step that turns
+    * pairwise dup evidence into KEEP/DROP decisions: every document in a
+    * component shares its component's representative (the min id), so
+    * "keep one per cluster" is a filter on `id === rep`.
+    *
+    * Algorithm: min-label propagation — each round every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup components are shallow
+    * (stars/short chains — transitive near-duplication collapses fast),
+    * so the practical bound is a handful of rounds; each round is one
+    * bounded join on the edge list. Labels persist per round and release
+    * on the next; a non-converged run past `maxIters` fails loudly
+    * rather than returning partial components.
+    *
+    * Input: pairs with `id_a`/`id_b` columns. Output: (id, rep_id) for
+    * every node appearing in a pair.
+    */
+  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep_id", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep_id").as("nbr_rep")), "dst")
+        .groupBy("src").agg(min("nbr_rep").as("nbr_rep"))
+        .withColumnRenamed("src", "id")
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep_id"), coalesce(col("nbr_rep"), col("rep_id"))).as("rep_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("rep_id", "old"), "id")
+        .filter(col("rep_id") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    if (changed != 0) {
+      edges.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"components did not converge in $maxIters rounds — component diameter " +
+          "exceeds the bound; raise maxIters")
+    }
+    CacheScope.seal(labels.select("id", "rep_id"), Seq(edges, labels),
+      None, DropStats.logDrops)
+  }
+
   /** SimHash-64: per-token hash bit votes weighted by tf. */
   def simhash64(tokens: Array[String]): Long = {
     if (tokens.isEmpty) return 0L

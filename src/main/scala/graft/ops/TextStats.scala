@@ -72,6 +72,42 @@ object TextStats {
     round(lit(0.4) * lengthScore + lit(0.4) * alphaRatio + lit(0.2) * stopScore, 6)
   }
 
+  /** Token-level repetition: fraction of tokens that are repeats of an
+    * earlier token (1 - distinct/total; 0 for empty docs). One of the
+    * standard web-corpus boilerplate/spam signals (Gopher-rule family).
+    */
+  def dupTokenRatio(textCol: Column): Column = {
+    val t = toks(textCol)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Fraction of the document's 2-grams occupied by its single most
+    * frequent 2-gram (0 when fewer than two tokens) — the "top n-gram
+    * fraction" repetition rule for flagging templated/looping text.
+    * Pure column expression: sort the row's bigrams, fold once counting
+    * the longest equal run (O(n log n) per row, fully codegen, no
+    * shuffle) — streams at scan speed like the other quality gates.
+    */
+  def topBigramFraction(textCol: Column): Column = {
+    val t = toks(textCol)
+    val n = size(t)
+    val bg = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val folded = aggregate(
+      sort_array(bg),
+      zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(n < 2, lit(0.0)).otherwise(folded.cast("double") / (n - 1))
+  }
+
   /** Normalized content fingerprint: md5 of the analyzed token stream —
     * robust to whitespace/punctuation/case variance (near-exact dedup key).
     */

@@ -104,6 +104,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == "und")
   }
 
+  test("repetition signals: exact top-bigram fraction and dup-token ratio") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),    // bigrams: a b, b a, a b, b a, a b → top 3/5
+      (2L, "x y z w"),        // all bigrams unique → 1/3
+      (3L, "q"),              // <2 tokens → 0
+      (4L, ""),               // empty → 0, 0
+      (5L, "t t t t"))        // "t t" ×3 → 3/3; dup tokens 3/4
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextStats.topBigramFraction(col("text")).as("bf"),
+      TextStats.dupTokenRatio(col("text")).as("dr"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3.0 / 5, 1.0 - 2.0 / 6)))
+    assert(got(2L) == ((1.0 / 3, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+    assert(got(5L) == ((1.0, 0.75)))
+  }
+
   test("winnow fingerprint: deterministic, subset-robust") {
     val toks = (1 to 100).map(i => s"t$i").toArray
     val f1 = TextStats.winnow(toks)
@@ -275,6 +295,30 @@ class OpsSpec extends AnyFunSuite {
     assert(nd.count() == 0)
     assert(annDrops.droppedGroups > 0 && annDrops.droppedEntries >= 10,
       s"got $annDrops")
+  }
+
+  test("components: chains, stars, and singleton pairs resolve to min-id representatives") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (diameter 5), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // keep-one-per-cluster is a filter on id === rep_id
+    assert(got.count { case (id, rep) => id == rep } == 3)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"components left persisted RDDs: $leaked")
+    // non-convergence fails loudly instead of returning partial clusters
+    intercept[IllegalArgumentException] {
+      Dedup.components(pairs, maxIters = 2)
+    }
   }
 
   test("decontaminate: n-gram overlap with the benchmark set flags exactly the leaked docs") {
