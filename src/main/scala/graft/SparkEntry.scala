@@ -318,10 +318,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     // pairs → clusters → representative: the KEEP/DROP step of the dedup
-    // pipeline (connected components by min-label propagation)
+    // pipeline (connected components by min-label propagation). Input is
+    // the DEFAULT bounded pair miner — the scale-path plan end to end;
+    // the df guard is a no-op on this corpus (GateScaleSpec pins it), so
+    // the exact recursive-closure oracle applies verbatim.
     "q_dedup_components" -> ((s, d) => {
       val pairs = Dedup.ngramJaccardPairs(tbl(s, d, "documents"), "doc_id", "text",
-        shingleK = 3, threshold = 0.5, maxShingleDf = Long.MaxValue)
+        shingleK = 3, threshold = 0.5)
       Dedup.components(pairs).select(col("id").as("doc_id"), col("rep_id"))
     }),
 

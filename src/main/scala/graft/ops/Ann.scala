@@ -351,12 +351,14 @@ object Ann {
     val entries = vecs
       .select(col("id"), explode(keysOf(col("v"))).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val okKeys = entries.groupBy("key").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, maxBucket))
-      .select("key")
-    // over-cap buckets are dropped LOUDLY: a count-only aggregate over the
-    // persisted entries, reported by CacheScope.seal next to the result
-    val dropsDf = entries.groupBy("key").agg(count(lit(1)).as("n"))
+    // bucket sizes computed ONCE (tiny: one row per distinct key,
+    // persisted) and consumed by both the cap filter and the drop-metrics
+    // aggregate — over-cap buckets are dropped LOUDLY, with no duplicated
+    // count shuffle
+    val keyCounts = entries.groupBy("key").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okKeys = keyCounts.filter(col("n").between(2, maxBucket)).select("key")
+    val dropsDf = keyCounts
       .filter(col("n") > maxBucket)
       .agg(count(lit(1)).as("dropped_groups"),
         coalesce(sum(col("n")), lit(0L)).as("dropped_entries"))
@@ -398,6 +400,6 @@ object Ann {
     val out =
       if (vecBytes <= 64e6) verify(rawPairs, bcastVecs = true).distinct()
       else verify(rawPairs.distinct(), bcastVecs = false)
-    (out, Seq(vecs, entries), Some(dropsDf))
+    (out, Seq(vecs, entries, keyCounts), Some(dropsDf))
   }
 }

@@ -338,21 +338,25 @@ object Dedup {
       .toDF("id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // hot shingles are guarded out loudly, never silently: the dropped-
-    // shingle aggregate reuses the persisted shingle relation (seal runs
-    // it as a tiny count-only job next to the result)
-    val (filtered, dropsDf) =
-      if (maxShingleDf == Long.MaxValue) (docShingles, None)
+    // hot shingles are guarded out loudly, never silently. The df-count
+    // relation is computed ONCE (tiny: one row per distinct shingle,
+    // persisted) and consumed by both the guard semi-join and the
+    // drop-metrics aggregate — no duplicated count shuffle.
+    val (filtered, dropsDf, dfCached) =
+      if (maxShingleDf == Long.MaxValue) (docShingles, None, None)
       else {
         val dfCounts = docShingles.groupBy("shingle")
-          .agg(count(lit(1)).as("sdf")).filter(col("sdf") <= maxShingleDf)
-        val drops = docShingles.groupBy("shingle")
           .agg(count(lit(1)).as("sdf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val drops = dfCounts
           .filter(col("sdf") > maxShingleDf)
           .agg(count(lit(1)).as("dropped_groups"),
             coalesce(sum(col("sdf")), lit(0L)).as("dropped_entries"))
-        (docShingles.join(dfCounts.select("shingle"), Seq("shingle"), "left_semi"),
-          Some(drops): Option[DataFrame])
+        (docShingles.join(
+          dfCounts.filter(col("sdf") <= maxShingleDf).select("shingle"),
+          Seq("shingle"), "left_semi"),
+          Some(drops): Option[DataFrame],
+          Some(dfCounts): Option[DataFrame])
       }
 
     val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
@@ -376,6 +380,6 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    (out, Seq(docShingles), dropsDf)
+    (out, Seq(docShingles) ++ dfCached, dropsDf)
   }
 }
