@@ -217,6 +217,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("doclen").cast("long").as("doclen"),
           round(col("score"), 4).as("score"))),
 
+    // document-sharded serving cluster (3 shard servers + router k-merge,
+    // global term stats) — must be bit-identical to every other layout
+    "q_bm25_sharded_top10" -> ((s, d) => {
+      import s.implicits._
+      val cluster = graft.query.Serving.openSharded(
+        indexFor(s, d), nShards = 3, maxBytesPerShard = 2L << 30)
+      cluster.topK("spark index dup", 10).toSeq.toDF("doc_id", "score")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // J4: hit materialization — scored docIDs broadcast-joined to stored fields
     "q_bm25_hits" -> ((s, d) =>
       Search.relevance(s, indexFor(s, d), "spark index dup", k = 10)
@@ -497,6 +507,7 @@ object SparkEntry {
 
     "q_bm25_mixed_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_serving_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
+    "q_bm25_sharded_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_head_top100" -> bm25Sql(Seq("the", "data", "web"), 100),
     "q_bm25_rare_top10" -> bm25Sql(Seq("dup"), 10),
 

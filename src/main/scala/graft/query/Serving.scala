@@ -192,30 +192,116 @@ object Serving {
     open(store.open(spark), maxBytes)
 
   def open(idx: OpenIndex, maxBytes: Long, withDocs: Boolean = false): ServingIndex = {
-    val blocks = idx.postings.collect()
+    val si = assemble(idx.postings.collect(), collectNorms(idx), collectDf(idx),
+      idx.stats, maxBytes)
+    if (withDocs) si.loadDocs(collectDocs(idx))
+    si
+  }
+
+  /** Assemble one serving shard from its blocks + norms and the GLOBAL
+    * term stats — BM25 idf must use corpus-wide df/N/avgdl in every
+    * layout, exactly as the distributed path resolves stats driver-side.
+    */
+  private def assemble(
+      blocks: Array[PostingBlock],
+      norms: java.util.HashMap[Integer, (Array[Long], Array[Int])],
+      df: java.util.HashMap[String, Long],
+      stats: IndexStats,
+      maxBytes: Long): ServingIndex = {
     val byTerm = new java.util.HashMap[String, Array[PostingBlock]]()
     blocks.groupBy(_.term).foreach { case (t, bs) => byTerm.put(t, bs) }
     val estDecoded = blocks.iterator.map(decodedBytes).sum
     val cache: BlockCache =
       if (estDecoded <= maxBytes) new FullDecodeCache(blocks)
       else new LruDecodeCache(maxBytes)
+    new ServingIndex(byTerm, cache, norms, df, stats)
+  }
+
+  private def collectNorms(idx: OpenIndex): java.util.HashMap[Integer, (Array[Long], Array[Int])] = {
     val norms = new java.util.HashMap[Integer, (Array[Long], Array[Int])]()
     idx.norms.collect().foreach { n =>
       val ds = VByte.undeltas(n.firstDoc, VByte.decode(n.docDeltas, n.n))
       val ls = Array.tabulate(n.n)(i => VByte.unpackIntAt(n.doclens, i))
       norms.put(n.seg, (ds, ls))
     }
+    norms
+  }
+
+  private def collectDf(idx: OpenIndex): java.util.HashMap[String, Long] = {
     val df = new java.util.HashMap[String, Long]()
     idx.terms.collect().foreach(t => df.put(t.term, t.df))
-    val si = new ServingIndex(byTerm, cache, norms, df, idx.stats)
-    if (withDocs) {
-      import org.apache.spark.sql.functions.col
-      val spark = idx.docs.sparkSession
-      import spark.implicits._
-      si.loadDocs(idx.docs
-        .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
-        .as[DocMeta].collect())
+    df
+  }
+
+  private def collectDocs(idx: OpenIndex): Array[DocMeta] = {
+    import org.apache.spark.sql.functions.col
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    idx.docs
+      .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+      .as[DocMeta].collect()
+  }
+
+  /** Document-sharded serving cluster: `nShards` shard servers, each
+    * holding the segments assigned to it (`seg mod nShards` — segments
+    * are the unit of document sharding in every layout), all scoring
+    * with the GLOBAL term stats, plus a router that k-merges per-shard
+    * top-ks with the same (score desc, docId asc) order the distributed
+    * TakeOrdered merge uses. Bit-identical to the single-node serving
+    * index and the distributed WAND: segments are scored locally either
+    * way — only WHERE they live changes. This is the web-scale
+    * deployment shape in miniature (shards on separate nodes, the
+    * router merging over RPC); `maxBytesPerShard` is each node's budget.
+    */
+  def openSharded(idx: OpenIndex, nShards: Int, maxBytesPerShard: Long,
+      withDocs: Boolean = false): ServingCluster = {
+    require(nShards >= 1, "need at least one shard")
+    val blocks = idx.postings.collect()
+    val norms = collectNorms(idx)
+    val df = collectDf(idx)
+    val stats = idx.stats
+    val shards = (0 until nShards).map { s =>
+      val sBlocks = blocks.filter(b => math.floorMod(b.seg, nShards) == s)
+      val sNorms = new java.util.HashMap[Integer, (Array[Long], Array[Int])]()
+      norms.forEach { (seg, v) =>
+        if (math.floorMod(seg, nShards) == s) sNorms.put(seg, v)
+      }
+      assemble(sBlocks, sNorms, df, stats, maxBytesPerShard)
     }
-    si
+    // hit materialization is the router's fetch phase (like the
+    // reference's _source lookup after the query phase)
+    val docs = if (withDocs) {
+      val m = new java.util.HashMap[Long, DocMeta]()
+      collectDocs(idx).foreach(d => m.put(d.doc_id, d))
+      m
+    } else null
+    new ServingCluster(shards.toIndexedSeq, docs)
+  }
+}
+
+/** Router over document-sharded `ServingIndex` shards: fans the query
+  * out, k-merges the shard top-ks. Shard top-ks are disjoint (documents
+  * live on exactly one shard), so the merge is the same TopKHeap the
+  * single-node path uses per segment.
+  */
+final class ServingCluster private[query] (
+    val shards: IndexedSeq[ServingIndex],
+    docStore: java.util.HashMap[Long, DocMeta]) {
+
+  def loadedBytes: Long = shards.map(_.loadedBytes).sum
+
+  def topK(query: String, k: Int): Array[(Long, Double)] = {
+    val heap = new TopKHeap(k)
+    shards.foreach(_.topK(query, k).foreach { case (d, s) => heap.offer(d, s) })
+    heap.result().sortBy(t => (-t._2, t._1))
+  }
+
+  def topKHits(query: String, k: Int): Array[Serving.Hit] = {
+    require(docStore != null, "cluster opened without docs; use withDocs = true")
+    topK(query, k).map { case (id, score) =>
+      val d = docStore.get(id)
+      require(d != null, s"docId $id missing from the router doc store")
+      Serving.Hit(id, d.url, d.lang, d.doclen, score)
+    }
   }
 }

@@ -111,6 +111,28 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded serving cluster is bit-identical to single-node and distributed paths") {
+    val full = graft.query.Serving.open(index, maxBytes = 2L << 30, withDocs = true)
+    for (nShards <- Seq(1, 3, 5)) {
+      val cluster = graft.query.Serving.openSharded(index, nShards,
+        maxBytesPerShard = 2L << 30, withDocs = true)
+      for (q <- queries; k <- Seq(10, 100)) {
+        assert(cluster.topK(q, k).toSeq == full.topK(q, k).toSeq,
+          s"nShards=$nShards query='$q' k=$k")
+      }
+      val q = queries.head
+      assert(cluster.topKHits(q, 10).toSeq == full.topKHits(q, 10).toSeq)
+    }
+    // shards under a tight per-node budget fall back to the bounded cache
+    // and still merge bit-identically
+    val bounded = graft.query.Serving.openSharded(index, 3,
+      maxBytesPerShard = full.loadedBytes / 8)
+    assert(bounded.shards.exists(_.bounded))
+    for (q <- queries) {
+      assert(bounded.topK(q, 10).toSeq == full.topK(q, 10).toSeq, s"query='$q'")
+    }
+  }
+
   test("bounded decoded-block cache: over-budget slice serves bit-identically") {
     val full = graft.query.Serving.open(index, maxBytes = 2L << 30)
     assert(!full.bounded)
