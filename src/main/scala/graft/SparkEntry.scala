@@ -32,8 +32,10 @@ object SparkEntry {
       val store = new IndexStore(root)
       val docs = tbl(s, dir, "documents")
         .withColumn("url", concat(lit("doc://"), col("doc_id")))
+      // positional build: every gate (WAND, serving, sharded, phrase)
+      // runs over the SAME index — positions are additive payload
       IndexBuilder.build(s, docs, store,
-        IndexBuilder.Config(segSize = 512, blockSize = 64, slices = 2))
+        IndexBuilder.Config(segSize = 512, blockSize = 64, slices = 2, positions = true))
       store.open(s)
     })
 
@@ -216,6 +218,13 @@ object SparkEntry {
       servingFor(s, d).topKHitsDF(s, "spark index dup", 10)
         .select(col("doc_id"), col("lang"), col("doclen").cast("long").as("doclen"),
           round(col("score"), 4).as("score"))),
+
+    // exact phrase query over the positional index: consecutive-position
+    // match, overlap-counting ptf, BM25 on exact phrase df — the
+    // fulltext-tier capability beyond bag-of-words WAND
+    "q_bm25_phrase_top10" -> ((s, d) =>
+      graft.query.Phrase.topK(s, indexFor(s, d), "table hash", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
     // document-sharded serving cluster (3 shard servers + router k-merge,
     // global term stats) — must be bit-identical to every other layout
@@ -508,6 +517,26 @@ object SparkEntry {
     "q_bm25_mixed_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_serving_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_sharded_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
+
+    // phrase = pseudo-term BM25: ptf counts consecutive-position (even
+    // overlapping) occurrences; idf over exact phrase df; rank by the
+    // exact double, output rounded — same parity discipline as bm25Sql
+    "q_bm25_phrase_top10" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base),
+         |mm AS (SELECT * FROM (
+         |         SELECT doc_id,
+         |           len(list_filter(range(greatest(len(t) - 1, 0)),
+         |             i -> t[i+1] = 'table' AND t[i+2] = 'hash')) AS ptf,
+         |           len(t) AS dl
+         |         FROM base) WHERE ptf > 0),
+         |df AS (SELECT count(*) AS df FROM mm)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id,
+         |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |      ptf * 2.2 / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) AS s
+         |  FROM mm CROSS JOIN stats CROSS JOIN df)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "q_bm25_head_top100" -> bm25Sql(Seq("the", "data", "web"), 100),
     "q_bm25_rare_top10" -> bm25Sql(Seq("dup"), 10),
 

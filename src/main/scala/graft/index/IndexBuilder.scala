@@ -44,7 +44,10 @@ object IndexBuilder {
       segSize: Int = 1 << 16,
       blockSize: Int = 128,
       slices: Int = 1,
-      codec: String = "pfor") // "pfor" (PForDelta, default) or "vbyte"
+      codec: String = "pfor", // "pfor" (PForDelta, default) or "vbyte"
+      positions: Boolean = false) // index token positions (phrase queries);
+                                  // ~doclen extra ints/doc through the one
+                                  // shuffle — Lucene's IndexOptions trade
 
   case class BuildReport(
       slicesBuilt: Int,
@@ -140,8 +143,10 @@ object IndexBuilder {
     val blockSize = cfg.blockSize
     val codec = Codecs.of(cfg.codec)
 
-    // per-doc term frequencies: pure per-row work (a doc's tokens never
-    // cross rows), emitted directly — no (term, docId) shuffle exists.
+    // per-doc term frequencies (and, when cfg.positions, the term's token
+    // indexes): pure per-row work (a doc's tokens never cross rows),
+    // emitted directly — no (term, docId) shuffle exists.
+    val withPositions = cfg.positions
     val tfRows = slice
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -149,20 +154,29 @@ object IndexBuilder {
         iter.flatMap { case (docId, text) =>
           val toks = graft.analysis.Analyzer.tokenize(text)
           val m = new java.util.HashMap[String, Int](toks.length * 2)
+          val posM = if (withPositions)
+            new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt](toks.length * 2)
+          else null
           var i = 0
           while (i < toks.length) {
             val prev = m.getOrDefault(toks(i), 0)
             m.put(toks(i), prev + 1)
+            if (withPositions) {
+              var b = posM.get(toks(i))
+              if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; posM.put(toks(i), b) }
+              b += i
+            }
             i += 1
           }
           val seg = (docId / segSize).toInt
           val dl = toks.length
-          val out = new Array[(String, Long, Int, Int, Int)](m.size())
+          val out = new Array[(String, Long, Int, Int, Int, Array[Int])](m.size())
           val it = m.entrySet().iterator()
           var j = 0
           while (it.hasNext) {
             val e = it.next()
-            out(j) = (e.getKey, docId, e.getValue, dl, seg)
+            val ps = if (withPositions) posM.get(e.getKey).result() else null
+            out(j) = (e.getKey, docId, e.getValue, dl, seg, ps)
             j += 1
           }
           out
@@ -174,10 +188,10 @@ object IndexBuilder {
     // so block building is a streaming pass — no per-group hashmap, no
     // MapGroupsExec buffering (measured ~2× over groupByKey+flatMapGroups).
     val blocks = tfRows
-      .toDF("term", "doc_id", "tf", "doclen", "seg")
+      .toDF("term", "doc_id", "tf", "doclen", "seg", "pos")
       .repartition(col("term"), col("seg"))
       .sortWithinPartitions(col("term"), col("seg"), col("doc_id"))
-      .as[(String, Long, Int, Int, Int)]
+      .as[(String, Long, Int, Int, Int, Array[Int])]
       .mapPartitions { it =>
         new Iterator[PostingBlock] {
           private var curTerm: String = null
@@ -186,6 +200,7 @@ object IndexBuilder {
           private val ds = new Array[Long](blockSize)
           private val fs = new Array[Long](blockSize)
           private val dls = new Array[Int](blockSize)
+          private val pss = new Array[Array[Int]](blockSize)
           private var n = 0
           private var pending: PostingBlock = null
           private var done = false
@@ -201,10 +216,28 @@ object IndexBuilder {
               i += 1
             }
             val docsArr = java.util.Arrays.copyOf(ds, n)
+            // positional payload: per-doc ascending token indexes as gap
+            // lists, concatenated in docID order (tf gives the splits)
+            val posBytes =
+              if (!withPositions) null
+              else {
+                val gaps = new Array[Long](tfSum.toInt)
+                var g = 0
+                i = 0
+                while (i < n) {
+                  val ps = pss(i)
+                  var prev = 0
+                  var j = 0
+                  while (j < ps.length) { gaps(g) = (ps(j) - prev).toLong; prev = ps(j); g += 1; j += 1 }
+                  i += 1
+                }
+                Codecs.encode(codec, gaps)
+              }
             val b = PostingBlock(curTerm, curSeg, blk, n, docsArr(0), docsArr(n - 1),
               maxNorm, tfSum, codec,
               Codecs.encode(codec, VByte.deltasFrom(docsArr(0), docsArr)),
-              Codecs.encode(codec, java.util.Arrays.copyOf(fs, n)))
+              Codecs.encode(codec, java.util.Arrays.copyOf(fs, n)),
+              posBytes)
             blk += 1
             n = 0
             b
@@ -213,14 +246,14 @@ object IndexBuilder {
           private def advance(): Unit = {
             while (pending == null && !done) {
               if (it.hasNext) {
-                val (term, d, f, dl, seg) = it.next()
+                val (term, d, f, dl, seg, ps) = it.next()
                 if (term != curTerm || seg != curSeg) {
                   if (n > 0) pending = emit()
                   curTerm = term; curSeg = seg; blk = 0
                 } else if (n == blockSize) {
                   pending = emit()
                 }
-                ds(n) = d; fs(n) = f; dls(n) = dl; n += 1
+                ds(n) = d; fs(n) = f; dls(n) = dl; pss(n) = ps; n += 1
               } else {
                 done = true
                 if (n > 0) pending = emit()

@@ -25,7 +25,13 @@ case class PostingBlock(
     tfSum: Long,           // Σ tf in this block (cf derives without decode)
     codec: Byte,           // Codecs.VB (VByte) or Codecs.PFOR (PForDelta)
     docDeltas: Array[Byte],// encoded gaps; first gap is from firstDoc (== 0)
-    tfs: Array[Byte])      // encoded term frequencies, aligned with docDeltas
+    tfs: Array[Byte],      // encoded term frequencies, aligned with docDeltas
+    positions: Array[Byte] = null) // OPTIONAL positional payload (Lucene
+                           // IndexOptions analogue, built when
+                           // Config.positions): per-doc token-index gap
+                           // lists concatenated in docID order — tf values
+                           // give the per-doc split points. null when the
+                           // index was built without positions.
 
 /** Per-segment document norms: sorted docIDs (delta+VByte) + doclens. */
 case class SegNorms(
@@ -125,4 +131,31 @@ private[graft] object TermPostings {
   def decodeBlock(b: PostingBlock): (Array[Long], Array[Long]) =
     (VByte.undeltas(b.firstDoc, Codecs.decode(b.codec, b.docDeltas, b.n)),
       Codecs.decode(b.codec, b.tfs, b.n))
+
+  /** Decode the positional payload: one ascending token-index array per
+    * posting, aligned with the block's docIDs. Requires an index built
+    * with `Config(positions = true)`.
+    */
+  def decodePositions(b: PostingBlock): Array[Array[Int]] = {
+    require(b.positions != null,
+      s"index carries no positions for term '${b.term}' — rebuild with Config(positions = true)")
+    val tfs = Codecs.decode(b.codec, b.tfs, b.n)
+    var total = 0
+    var i = 0
+    while (i < b.n) { total += tfs(i).toInt; i += 1 }
+    val gaps = Codecs.decode(b.codec, b.positions, total)
+    val out = new Array[Array[Int]](b.n)
+    var g = 0
+    i = 0
+    while (i < b.n) {
+      val m = tfs(i).toInt
+      val arr = new Array[Int](m)
+      var prev = 0L
+      var j = 0
+      while (j < m) { prev += gaps(g); arr(j) = prev.toInt; g += 1; j += 1 }
+      out(i) = arr
+      i += 1
+    }
+    out
+  }
 }
