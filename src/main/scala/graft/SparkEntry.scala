@@ -226,6 +226,15 @@ object SparkEntry {
       graft.query.Phrase.topK(s, indexFor(s, d), "table hash", 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
+    // the same phrase answered by the serving shard server (positions
+    // decoded on demand, global-df scoring) — must be bit-identical
+    "q_bm25_phrase_serving_top10" -> ((s, d) => {
+      import s.implicits._
+      servingFor(s, d).phraseTopK("table hash", 10)
+        .toSeq.toDF("doc_id", "score")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // document-sharded serving cluster (3 shard servers + router k-merge,
     // global term stats) — must be bit-identical to every other layout
     "q_bm25_sharded_top10" -> ((s, d) => {
@@ -522,6 +531,23 @@ object SparkEntry {
     // overlapping) occurrences; idf over exact phrase df; rank by the
     // exact double, output rounded — same parity discipline as bm25Sql
     "q_bm25_phrase_top10" ->
+      s"""WITH base AS (SELECT doc_id, $tokSql AS t FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base),
+         |mm AS (SELECT * FROM (
+         |         SELECT doc_id,
+         |           len(list_filter(range(greatest(len(t) - 1, 0)),
+         |             i -> t[i+1] = 'table' AND t[i+2] = 'hash')) AS ptf,
+         |           len(t) AS dl
+         |         FROM base) WHERE ptf > 0),
+         |df AS (SELECT count(*) AS df FROM mm)
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id,
+         |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+         |      ptf * 2.2 / (ptf + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl)) AS s
+         |  FROM mm CROSS JOIN stats CROSS JOIN df)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bm25_phrase_serving_top10" ->
       s"""WITH base AS (SELECT doc_id, $tokSql AS t FROM documents),
          |stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base),
          |mm AS (SELECT * FROM (

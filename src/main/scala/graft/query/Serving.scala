@@ -137,6 +137,65 @@ final class ServingIndex private[query] (
     topK(query, k).toSeq.toDF("doc_id", "score")
   }
 
+  /** Unscored phrase matches on THIS shard: (docId, ptf, doclen) for
+    * every local document containing the phrase at consecutive positions
+    * (overlaps counted — Lucene slop-0). Scoring needs the GLOBAL phrase
+    * df, which only the router knows in a sharded layout (the
+    * dfs_query_then_fetch shape), so matching and scoring are separate.
+    * Positions decode on demand per query — phrase traffic is a small
+    * fraction of term traffic, the classic positional-payload trade.
+    */
+  private[query] def phraseMatches(phrase: String): Array[(Long, Int, Long)] = {
+    val slots = Analyzer.tokenize(phrase)
+    if (slots.isEmpty) return Array.empty
+    val distinctTerms = slots.distinct
+    if (distinctTerms.exists(t => !postingsByTerm.containsKey(t))) return Array.empty
+
+    // group the phrase terms' blocks by segment
+    val bySeg = new java.util.HashMap[Integer, java.util.ArrayList[PostingBlock]]()
+    distinctTerms.foreach { t =>
+      postingsByTerm.get(t).foreach { b =>
+        bySeg.computeIfAbsent(b.seg, _ => new java.util.ArrayList[PostingBlock]()).add(b)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    bySeg.forEach { (seg, blocks) =>
+      val byTerm = blocks.toArray(new Array[PostingBlock](blocks.size())).groupBy(_.term)
+      if (!distinctTerms.exists(t => !byTerm.contains(t))) {
+        val posByTerm = distinctTerms.map { t =>
+          val m = new java.util.HashMap[Long, Array[Int]]()
+          byTerm(t).foreach { b =>
+            val (docs, _) = TermPostings.decodeBlock(b)
+            val ps = TermPostings.decodePositions(b)
+            var i = 0
+            while (i < docs.length) { m.put(docs(i), ps(i)); i += 1 }
+          }
+          t -> m
+        }.toMap
+        val (nDocs, nLens) = normsBySeg.get(seg)
+        val rarest = distinctTerms.minBy(t => posByTerm(t).size)
+        posByTerm(rarest).forEach { (doc, _) =>
+          if (distinctTerms.forall(t => posByTerm(t).containsKey(doc))) {
+            val slotPs = slots.map(t => posByTerm(t).get(doc))
+            val c = Phrase.countOccurrences(slotPs)
+            if (c > 0) {
+              val i = java.util.Arrays.binarySearch(nDocs, doc)
+              require(i >= 0, s"docId $doc missing from norms of seg $seg")
+              out += ((doc, c, nLens(i).toLong))
+            }
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Exact phrase BM25 top-k on this (single-node) index — df is local =
+    * global here. Rank-identical to `Phrase.topK` over the same store.
+    */
+  def phraseTopK(phrase: String, k: Int): Array[(Long, Double)] =
+    Serving.scorePhraseMatches(phraseMatches(phrase), stats, k)
+
   // ---- hit materialization: the reference's `hits.hits[]._source + _score`
   // response shape, answered from the serving node's doc store ----
   private var docStore: java.util.HashMap[Long, DocMeta] = _
@@ -171,6 +230,22 @@ object Serving {
 
   /** The `hits.hits[]._source + _score` response row. */
   case class Hit(doc_id: Long, url: String, lang: String, doclen: Int, score: Double)
+
+  /** Score gathered phrase matches with the GLOBAL df (= match count
+    * across every shard) through the same BM25 kernels as all paths.
+    */
+  private[query] def scorePhraseMatches(
+      matches: Array[(Long, Int, Long)],
+      stats: IndexStats,
+      k: Int): Array[(Long, Double)] = {
+    if (matches.isEmpty || stats.nDocs == 0) return Array.empty
+    val idf = BM25.idf(stats.nDocs, matches.length.toLong)
+    val heap = new TopKHeap(k)
+    matches.foreach { case (d, ptf, dl) =>
+      heap.offer(d, idf * BM25.tfNorm(ptf.toLong, dl, stats.avgdl))
+    }
+    heap.result().sortBy(t => (-t._2, t._1))
+  }
 
   /** Decoded heap footprint of one posting block: two long arrays of n
     * (docIDs + tfs) plus object headers — the number that actually
@@ -294,6 +369,16 @@ final class ServingCluster private[query] (
     val heap = new TopKHeap(k)
     shards.foreach(_.topK(query, k).foreach { case (d, s) => heap.offer(d, s) })
     heap.result().sortBy(t => (-t._2, t._1))
+  }
+
+  /** Phrase top-k across shards: gather unscored matches, resolve the
+    * GLOBAL phrase df at the router, then score — the
+    * dfs_query_then_fetch shape. Bit-identical to the single-node and
+    * distributed phrase paths (stats are global in every layout).
+    */
+  def phraseTopK(phrase: String, k: Int): Array[(Long, Double)] = {
+    val matches = shards.iterator.flatMap(_.phraseMatches(phrase)).toArray
+    Serving.scorePhraseMatches(matches, shards.head.stats, k)
   }
 
   def topKHits(query: String, k: Int): Array[Serving.Hit] = {

@@ -97,6 +97,31 @@ class PhraseSpec extends AnyFunSuite {
     store.dropAll()
   }
 
+  test("serving and sharded phrase paths are bit-identical to the distributed path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("red", "blue", "green", "fox", "dog", "run")
+    val corpus = (0L until 400L).map { i =>
+      (i, (1 to 25 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+      .withColumn("url", concat(lit("doc://"), col("doc_id")))
+      .withColumn("lang", lit("en"))
+    val store = new IndexStore(Files.createTempDirectory("graft-phrsv-").toString)
+    IndexBuilder.build(spark, df, store,
+      IndexBuilder.Config(segSize = 64, blockSize = 16, slices = 2, positions = true))
+    val idx = store.open(spark)
+    val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
+    val cluster = graft.query.Serving.openSharded(idx, nShards = 3, maxBytesPerShard = 2L << 30)
+    for (phrase <- Seq("fox fox", "red blue", "blue green red", "zzz qqq")) {
+      val dist = Phrase.topK(spark, idx, phrase, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(serving.phraseTopK(phrase, 10).toSeq == dist, s"serving '$phrase'")
+      assert(cluster.phraseTopK(phrase, 10).toSeq == dist, s"cluster '$phrase'")
+    }
+    store.dropAll()
+  }
+
   test("non-positional index refuses phrase queries with a clear message") {
     import spark.implicits._
     val df = Seq((0L, "a b c")).toDF("doc_id", "text")
