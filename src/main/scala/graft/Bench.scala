@@ -43,7 +43,11 @@ object Bench {
   private def fmt(d: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(d))
 
   /** Build the index over `nDocs` generated pages; returns docs/sec. */
-  private[graft] def buildThroughput(cores: Int, nDocs: Long): Double = {
+  private[graft] def buildThroughput(cores: Int, nDocs: Long): Double =
+    buildThroughput(cores, nDocs,
+      sys.env.get("SPARK_GRAFT_BENCH_POSITIONS").contains("1"))
+
+  private[graft] def buildThroughput(cores: Int, nDocs: Long, positional: Boolean): Double = {
     val spark = session(cores)
     try {
       val docs = Corpus.pages(spark, nDocs)
@@ -53,7 +57,8 @@ object Bench {
       val store = new IndexStore(Files.createTempDirectory(s"graft-bench-$cores-").toString)
       val (_, sec) = timed {
         IndexBuilder.build(spark, docs, store,
-          IndexBuilder.Config(segSize = 1 << 14, blockSize = 128, slices = 1))
+          IndexBuilder.Config(segSize = 1 << 14, blockSize = 128, slices = 1,
+            positions = positional))
       }
       store.dropAll()
       nDocs / sec

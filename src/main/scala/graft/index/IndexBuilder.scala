@@ -231,7 +231,10 @@ object IndexBuilder {
                   while (j < ps.length) { gaps(g) = (ps(j) - prev).toLong; prev = ps(j); g += 1; j += 1 }
                   i += 1
                 }
-                Codecs.encode(codec, gaps)
+                // always VByte: the stream length is Σtf (unbounded per
+                // block — PFor's 255-value cap doesn't fit), and position
+                // gaps are small ints where VByte is already ~1 byte each
+                VByte.encode(gaps)
               }
             val b = PostingBlock(curTerm, curSeg, blk, n, docsArr(0), docsArr(n - 1),
               maxNorm, tfSum, codec,

@@ -30,8 +30,9 @@ case class PostingBlock(
                            // IndexOptions analogue, built when
                            // Config.positions): per-doc token-index gap
                            // lists concatenated in docID order — tf values
-                           // give the per-doc split points. null when the
-                           // index was built without positions.
+                           // give the per-doc split points; always VByte
+                           // (stream length Σtf is unbounded per block).
+                           // null when built without positions.
 
 /** Per-segment document norms: sorted docIDs (delta+VByte) + doclens. */
 case class SegNorms(
@@ -143,7 +144,7 @@ private[graft] object TermPostings {
     var total = 0
     var i = 0
     while (i < b.n) { total += tfs(i).toInt; i += 1 }
-    val gaps = Codecs.decode(b.codec, b.positions, total)
+    val gaps = VByte.decode(b.positions, total) // positions are always VByte
     val out = new Array[Array[Int]](b.n)
     var g = 0
     i = 0
