@@ -191,9 +191,37 @@ object Dedup {
     * Input: pairs with `id_a`/`id_b` columns. Output: (id, rep_id) for
     * every node appearing in a pair.
     */
-  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+  def components(pairs: DataFrame, maxIters: Int = 25,
+      localCap: Int = 1 << 20): DataFrame = {
+    // hybrid solve, the standard CC design: edge sets below `localCap`
+    // collect to a driver union-find (near-dup pair sets are a vanishing
+    // fraction of the corpus — at gate scale the distributed loop would
+    // spend seconds of pure job overhead on a toy graph); larger graphs
+    // run the distributed label-propagation below
+    val spark = pairs.sparkSession
+    val rawEdges = pairs.select(
+      col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val head = rawEdges.take(localCap + 1)
+    if (head.length <= localCap) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      head.foreach { e =>
+        val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // min-id root
+      }
+      val nodes = head.iterator.flatMap(e => Iterator(e.getLong(0), e.getLong(1)))
+        .toArray.distinct.sorted
+      import spark.implicits._
+      return nodes.map(n => (n, find(n))).toSeq.toDF("id", "rep_id")
+    }
+
+    val edges = rawEdges
       .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -313,11 +313,16 @@ class OpsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
     // keep-one-per-cluster is a filter on id === rep_id
     assert(got.count { case (id, rep) => id == rep } == 3)
+    // the distributed label-propagation path (forced via localCap = 0)
+    // must agree with the driver union-find exactly
+    val distributed = Dedup.components(pairs, localCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == got)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"components left persisted RDDs: $leaked")
     // non-convergence fails loudly instead of returning partial clusters
     intercept[IllegalArgumentException] {
-      Dedup.components(pairs, maxIters = 2)
+      Dedup.components(pairs, maxIters = 2, localCap = 0)
     }
   }
 
