@@ -44,23 +44,18 @@ object Phrase {
     count
   }
 
-  /** Phrase top-k as (doc_id, score). Empty result when any phrase term
-    * is absent from the index or the phrase never occurs.
+  /** The unscored (docId, ptf) match plan — segment-local matching; only
+    * the phrase terms' blocks travel (the IN-filter reaches the parquet
+    * scan), grouped by document segment. Exposed for the plan audit;
+    * `topK` persists + scores it.
     */
-  def topK(spark: SparkSession, idx: OpenIndex, phrase: String, k: Int): DataFrame = {
+  private[graft] def matchesPlan(
+      idx: OpenIndex,
+      slotsSeq: IndexedSeq[String]): org.apache.spark.sql.Dataset[(Long, Int)] = {
+    val spark = idx.docs.sparkSession
     import spark.implicits._
-    val slots = Analyzer.tokenize(phrase) // ordered, duplicates preserved
-    require(slots.nonEmpty, "empty phrase")
-    val distinctTerms = slots.distinct.toSeq
-    val stats = idx.stats
-    val slotsSeq = slots.toIndexedSeq
-
-    def emptyResult = Seq.empty[(Long, Double)].toDF("doc_id", "score")
-    if (stats.nDocs == 0) return emptyResult
-
-    // segment-local matching: only the phrase terms' blocks travel (the
-    // IN-filter reaches the parquet scan), grouped by document segment
-    val matches = idx.postings
+    val distinctTerms = slotsSeq.distinct
+    idx.postings
       .filter(col("term").isin(distinctTerms: _*))
       .groupByKey(_.seg)
       .flatMapGroups { (_, it) =>
@@ -93,6 +88,23 @@ object Phrase {
           out.iterator
         }
       }
+  }
+
+  /** Phrase top-k as (doc_id, score). Empty result when any phrase term
+    * is absent from the index or the phrase never occurs.
+    */
+  def topK(spark: SparkSession, idx: OpenIndex, phrase: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val slots = Analyzer.tokenize(phrase) // ordered, duplicates preserved
+    require(slots.nonEmpty, "empty phrase")
+    val distinctTerms = slots.distinct.toSeq
+    val stats = idx.stats
+    val slotsSeq = slots.toIndexedSeq
+
+    def emptyResult = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    if (stats.nDocs == 0) return emptyResult
+
+    val matches = matchesPlan(idx, slotsSeq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact global phrase df, then BM25 through the same kernel as WAND

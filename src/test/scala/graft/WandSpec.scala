@@ -82,8 +82,10 @@ class WandSpec extends AnyFunSuite {
       .select("doc_id", "url", "text", "lang")
       .cache()
     val store = new IndexStore(Files.createTempDirectory("graft-wand-big-").toString)
+    // positional build: the fuzz sweep must stay rank-identical with the
+    // positional payload threaded through the block builder (additive)
     IndexBuilder.build(spark, bigDocs, store,
-      IndexBuilder.Config(segSize = 1024, blockSize = 64, slices = 3))
+      IndexBuilder.Config(segSize = 1024, blockSize = 64, slices = 3, positions = true))
     val idx = store.open(spark)
     // randomized query shapes from the vocabulary (seeded)
     val rnd = new scala.util.Random(13)
