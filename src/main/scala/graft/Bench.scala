@@ -143,8 +143,10 @@ object Bench {
     val qps = qpsRuns.max
 
     // ---- phase 2c: single-node serving tier (same segTopK kernel loaded
-    // in memory, no Spark job per query — how a shard server would run) ----
-    val (servingQps, servingQpsMt) = {
+    // in memory, no Spark job per query — how a shard server would run),
+    // plus the document-sharded cluster (4 shards + router k-merge) and
+    // the phrase path over the positional index ----
+    val (servingQps, servingQpsMt, clusterQpsMt, phraseQps) = {
       val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
       serving.topK(latQueries.head, 10) // warm
       val nq = 2000
@@ -157,14 +159,30 @@ object Bench {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val (_, secMt) = timed {
-        Await.result(Future.sequence((0 until 16).map(t => Future {
-          var i = 0
-          while (i < nq) { serving.topK(latQueries((t + i) % latQueries.size), 10); i += 1 }
-        })), Duration.Inf)
+      def mt16(f: Int => Unit): Double = {
+        val (_, sec) = timed {
+          Await.result(Future.sequence((0 until 16).map(t => Future {
+            var i = 0
+            while (i < nq) { f(t + i); i += 1 }
+          })), Duration.Inf)
+        }
+        16.0 * nq / sec
       }
+      val qpsMt = mt16(i => serving.topK(latQueries(i % latQueries.size), 10))
+      val cluster = graft.query.Serving.openSharded(idx, nShards = 4,
+        maxBytesPerShard = 2L << 30)
+      cluster.topK(latQueries.head, 10) // warm
+      val clMt = mt16(i => cluster.topK(latQueries(i % latQueries.size), 10))
       pool.shutdown()
-      (nq / sec1, 16.0 * nq / secMt)
+      // phrase over positions decodes on demand — single-thread rate
+      val phrases = Seq("table hash", "merge group", "slow key")
+      serving.phraseTopK(phrases.head, 10) // warm
+      val np = 200
+      val (_, secP) = timed {
+        var i = 0
+        while (i < np) { serving.phraseTopK(phrases(i % phrases.size), 10); i += 1 }
+      }
+      (nq / sec1, qpsMt, clMt, np / secP)
     }
     spark.stop()
 
@@ -220,7 +238,8 @@ object Bench {
         s""""query_runs":$qRuns,""" +
         s""""query_latency_ms":{"p50":${fmt(p50)},"p95":${fmt(p95)},"concurrent_qps":${fmt(qps)},""" +
         s""""concurrent_qps_runs":${arr(qpsRuns.toSeq)},""" +
-        s""""serving_qps":${fmt(servingQps)},"serving_qps_mt16":${fmt(servingQpsMt)}},""" +
+        s""""serving_qps":${fmt(servingQps)},"serving_qps_mt16":${fmt(servingQpsMt)},""" +
+        s""""cluster4_qps_mt16":${fmt(clusterQpsMt)},"serving_phrase_qps":${fmt(phraseQps)}},""" +
         s""""index_build":{"bench_docs":$benchDocs,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
         s""""docs_per_sec_n":${fmt(dpsN)},"docs_per_sec_4n":${fmt(dps4N)},""" +
         s""""runs_n":${arr(series(nCores).toSeq)},"runs_4n":${arr(series(n4Cores).toSeq)},""" +
