@@ -689,9 +689,11 @@ object SparkEntry {
          |FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) c JOIN bsh USING (s)
          |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin,
 
+    // the (+1000)%1000 wrap mirrors Spark-side pmod for negative ids; a
+    // no-op on this corpus (doc_id >= 0) but keeps the rule engine-equal
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        | WHERE (doc_id % 100003) * 2654435761 % 1000 <
+        | WHERE ((doc_id % 100003) * 2654435761 % 1000 + 1000) % 1000 <
         |   CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END""".stripMargin,
 
     "q_chunk_windows" ->

@@ -45,7 +45,11 @@ object FileIngest {
   def parseFile(spark: SparkSession, path: String): (DataFrame, Long) = {
     val (good, failed, cache) = parseFileWithFailures(spark, path)
     val bad = failed.count()
-    if (bad == 0) cache.foreach(_.unpersist(blocking = false))
+    // always release the parse cache: the failure count is materialized
+    // above, and the good-rows frame re-reads the source lazily — keeping
+    // the handle persisted (as a bad-rows-only release once did) leaks
+    // block-manager state for the life of the session
+    cache.foreach(_.unpersist(blocking = false))
     (good, bad)
   }
 

@@ -64,18 +64,21 @@ object Curation {
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
     val bucket = hashBucket(col(idCol))
-    val thresh = fractions.foldLeft(lit((defaultFraction * 1000).toInt): Column) {
+    // round, not truncate: (0.3 * 1000).toInt is 299 from the binary-float
+    // representation — silently off the documented 1/1000 quantization
+    val thresh = fractions.foldLeft(lit(math.round(defaultFraction * 1000).toInt): Column) {
       case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, lit((f * 1000).toInt)).otherwise(acc)
+        when(col(strataCol) === stratum, lit(math.round(f * 1000).toInt)).otherwise(acc)
     }
     df.filter(bucket < thresh)
   }
 
   /** The sampling hash bucket in [0, 1000) — exposed so oracle SQL can
-    * mirror it verbatim.
+    * mirror it verbatim. Non-negative residue (pmod) so negative ids land
+    * in a real bucket instead of always passing the `< threshold` test.
     */
   def hashBucket(id: Column): Column =
-    (id.cast("long") % 100003L) * 2654435761L % 1000L
+    pmod((id.cast("long") % 100003L) * 2654435761L, lit(1000L))
 
   /** Fixed-size token windows with stride (training sequence chunking):
     * each document explodes into ceil((len - window)/stride) + 1 windows

@@ -127,19 +127,26 @@ object Dedup {
           s"xxhash64(concat_ws(':', slice(sig, b * $r + 1, $r))))")
       ).as(Seq("band", "bhash")))
 
-    val buckets = banded
+    // ONE band shuffle: the grouped relation is persisted and feeds both
+    // the capped buckets and the drop metrics (the keyCounts pattern from
+    // lshNearDupPairsPlan/ngramJaccardPairsPlan) — deriving drops from a
+    // second groupBy over `banded` would re-run the posexplode + band-hash
+    // shuffle from scratch. Singleton buckets carry no pairs and no drops,
+    // so they're filtered before the persist.
+    val bandGroups = banded
       .groupBy("band", "bhash")
       .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // drop accounting: buckets past maxBucket are capped, not silent. A
-    // count-only partial-agg pass over the persisted base (cheap — no
-    // collect_list payload), reported by CacheScope.seal next to the result.
-    val dropsDf = banded
-      .groupBy("band", "bhash").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
+    val buckets = bandGroups.filter(size(col("ids")) <= maxBucket)
+
+    // drop accounting: buckets past maxBucket are capped, not silent —
+    // reported by CacheScope.seal next to the result.
+    val dropsDf = bandGroups
+      .filter(size(col("ids")) > maxBucket)
       .agg(count(lit(1)).as("dropped_groups"),
-        coalesce(sum(col("n")), lit(0L)).as("dropped_entries"))
+        coalesce(sum(size(col("ids"))), lit(0L)).cast("long").as("dropped_entries"))
 
     val pairs = buckets
       .select(explode(pairsOf(col("ids"))).as("p"))
@@ -161,7 +168,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (out, Seq(base), Some(dropsDf))
+    (out, Seq(base, bandGroups), Some(dropsDf))
   }
 
   /** All unordered pairs (a < b) of a (small, capped) bucket array.

@@ -112,10 +112,17 @@ object Phrase {
     if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
     val idf = BM25.idf(stats.nDocs, dfPhrase)
     val avgdl = stats.avgdl
-    // the tiny match set broadcasts against the big docs table (the J4
-    // hit-materialization shape) to resolve doclens in one docs scan
+    // the match set is usually tiny and broadcasts against the big docs
+    // table (the J4 hit-materialization shape) — but a stop-word phrase at
+    // corpus scale can match millions of docs, so the broadcast is gated
+    // on the just-computed exact df; past the bound the doclen resolution
+    // falls back to a shuffle join (both sides hash on doc_id)
+    val maxBroadcast = spark.conf.getOption("graft.query.phraseBroadcastMaxRows")
+      .map(_.toLong).getOrElse(1L << 22)
+    val matchesDF = matches.toDF("doc_id", "ptf")
+    val matchSide = if (dfPhrase <= maxBroadcast) broadcast(matchesDF) else matchesDF
     val scored = idx.docs.select(col("doc_id"), col("doclen"))
-      .join(broadcast(matches.toDF("doc_id", "ptf")), "doc_id")
+      .join(matchSide, "doc_id")
       .select(col("doc_id"), col("ptf"), col("doclen"))
       .as[(Long, Int, Long)]
       .map { case (d, ptf, dl) => (d, idf * BM25.tfNorm(ptf.toLong, dl, avgdl)) }

@@ -48,29 +48,46 @@ private[query] final class FullDecodeCache(blocks: Array[PostingBlock]) extends 
 
 /** Bounded decoded-block cache: a slice whose decoded footprint exceeds
   * the budget serves with partial pre-decode instead of refusing. Lookups
-  * are lock-free ConcurrentHashMap reads (warm-set queries stay close to
-  * full-pre-decode throughput); misses decode on demand and evict in FIFO
-  * insertion order until back under budget. Bit-identity is unconditional
-  * — eviction only changes WHERE the decode happens.
+  * are lock-free ConcurrentHashMap reads plus one volatile write to mark
+  * the entry referenced (warm-set queries stay close to full-pre-decode
+  * throughput); misses decode on demand and evict by the CLOCK /
+  * second-chance rule — a recently-hit entry gets its referenced bit
+  * cleared and moves to the tail instead of dying, so a hot block
+  * inserted early is never thrashed out by a cold scan (the defect plain
+  * FIFO insertion order had). Bit-identity is unconditional — eviction
+  * only changes WHERE the decode happens.
   */
-private[query] final class LruDecodeCache(budget: Long) extends BlockCache {
-  private val m = new java.util.concurrent.ConcurrentHashMap[PostingBlock, (Array[Long], Array[Long])]()
+private[query] final class ClockDecodeCache(budget: Long) extends BlockCache {
+  private final class Entry(val decoded: (Array[Long], Array[Long])) {
+    @volatile var referenced: Boolean = false
+  }
+  private val m = new java.util.concurrent.ConcurrentHashMap[PostingBlock, Entry]()
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[PostingBlock]()
   private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def get(b: PostingBlock): (Array[Long], Array[Long]) = {
     val hit = m.get(b)
-    if (hit != null) return hit
+    if (hit != null) { hit.referenced = true; return hit.decoded }
     val d = TermPostings.decodeBlock(b)
-    val prev = m.putIfAbsent(b, d)
-    if (prev != null) return prev
+    val prev = m.putIfAbsent(b, new Entry(d))
+    if (prev != null) { prev.referenced = true; return prev.decoded }
     order.add(b)
     var cur = bytes.addAndGet(Serving.decodedBytes(b))
+    // second chances are bounded by one full lap of the queue — when every
+    // entry is referenced the scan degrades to FIFO rather than spinning
+    var chances = m.size() + 1
     while (cur > budget) {
       val victim = order.poll()
       if (victim == null) return d // nothing left to evict
-      if (m.remove(victim) != null) cur = bytes.addAndGet(-Serving.decodedBytes(victim))
-      else cur = bytes.get() // another thread evicted it — re-read
+      val e = m.get(victim)
+      if (e == null) { cur = bytes.get() } // another thread evicted it
+      else if (e.referenced && chances > 0) {
+        e.referenced = false
+        chances -= 1
+        order.add(victim) // spared: recently used
+      } else if (m.remove(victim) != null) {
+        cur = bytes.addAndGet(-Serving.decodedBytes(victim))
+      } else cur = bytes.get()
     }
     d
   }
@@ -82,13 +99,18 @@ final class ServingIndex private[query] (
     cache: BlockCache,
     normsBySeg: java.util.HashMap[Integer, (Array[Long], Array[Int])],
     termDf: java.util.HashMap[String, Long],
-    val stats: IndexStats) {
+    val stats: IndexStats,
+    /** Compressed positional payload retained on-heap by a positional
+      * slice (decoded on demand per phrase query, never cached) — real
+      * serving footprint, counted against the open budget.
+      */
+    val retainedPositionBytes: Long = 0L) {
 
-  def loadedBytes: Long = cache.loadedBytes
+  def loadedBytes: Long = cache.loadedBytes + retainedPositionBytes
   /** True when the decoded slice exceeded the budget and the node serves
     * through the bounded cache (partial pre-decode).
     */
-  val bounded: Boolean = cache.isInstanceOf[LruDecodeCache]
+  val bounded: Boolean = cache.isInstanceOf[ClockDecodeCache]
 
   private val decodeFn: PostingBlock => (Array[Long], Array[Long]) = cache.get(_)
 
@@ -254,6 +276,13 @@ object Serving {
     */
   private[query] def decodedBytes(b: PostingBlock): Long = b.n.toLong * 16 + 64
 
+  /** Compressed positional payload a block keeps on the serving heap
+    * (phrase queries decode it on demand; it is never dropped while the
+    * block is held). Zero for non-positional indexes.
+    */
+  private[query] def positionBytes(b: PostingBlock): Long =
+    if (b.positions == null) 0L else b.positions.length.toLong + 16
+
   /** Load a committed index into serving memory. One Spark collect per
     * table. The budget governs the DECODED postings footprint (estimated
     * from posting counts, which every manifest — compacted or not —
@@ -286,10 +315,15 @@ object Serving {
     val byTerm = new java.util.HashMap[String, Array[PostingBlock]]()
     blocks.groupBy(_.term).foreach { case (t, bs) => byTerm.put(t, bs) }
     val estDecoded = blocks.iterator.map(decodedBytes).sum
+    // the retained compressed positions are footprint the budget must see:
+    // they occupy heap for the life of the node whether or not a phrase
+    // ever arrives, so the decoded-block budget shrinks by that amount
+    // (floored so a positions-heavy slice still gets a working cache)
+    val posBytes = blocks.iterator.map(positionBytes).sum
     val cache: BlockCache =
-      if (estDecoded <= maxBytes) new FullDecodeCache(blocks)
-      else new LruDecodeCache(maxBytes)
-    new ServingIndex(byTerm, cache, norms, df, stats)
+      if (estDecoded + posBytes <= maxBytes) new FullDecodeCache(blocks)
+      else new ClockDecodeCache(math.max(maxBytes - posBytes, maxBytes / 16))
+    new ServingIndex(byTerm, cache, norms, df, stats, posBytes)
   }
 
   private def collectNorms(idx: OpenIndex): java.util.HashMap[Integer, (Array[Long], Array[Int])] = {

@@ -52,7 +52,16 @@ object Wand {
     val avgdl = stats.avgdl
     val terms = present.keys.toSeq.sorted
 
-    val qBlocks = index.postings.filter(col("term").isin(terms: _*))
+    // Term queries never read the positional payload, but a positional
+    // index stores it inline per block — and it's ~Σtf VByte bytes,
+    // comparable to the postings themselves. Replacing the column with a
+    // null literal lets Catalyst prune `positions` out of the parquet
+    // ReadSchema entirely, so neither the scan nor the seg Exchange ever
+    // carries it (only Phrase reads positions).
+    val qBlocks = index.postings
+      .filter(col("term").isin(terms: _*))
+      .withColumn("positions", lit(null).cast("binary"))
+      .as[PostingBlock]
     val hits = index.normsBroadcast match {
       case Some(bc) =>
         // low-latency path: one shuffle (blocks by seg); norms via broadcast

@@ -84,6 +84,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("wand topK prunes the positional payload out of the postings scan") {
+    val idx = SparkEntry.indexFor(spark, sf) // built WITH positions
+    val df = graft.query.Wand.topK(spark, idx, "spark dup", 5)
+    val p = plan(df)
+    // ReadSchema strings truncate in toString — pin the FileScan output
+    // attribute lists instead (printed in full)
+    def scanCols(s: String): Seq[String] =
+      "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(s).toSeq
+    val postingScans = scanCols(p).filter(_.contains("term#"))
+    assert(postingScans.nonEmpty, p)
+    assert(!postingScans.exists(_.contains("positions#")),
+      s"term queries must not scan the positional payload:\n$p")
+    // the phrase path is the one consumer of positions — it must still read them
+    val pp = plan(graft.query.Phrase.matchesPlan(idx, IndexedSeq("spark", "dup")).toDF())
+    assert(scanCols(pp).exists(_.contains("positions#")), pp)
+  }
+
+  test("minhash LSH derives buckets AND drop metrics from one persisted band shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (_, cached, drops) = graft.ops.Dedup.minhashLshPlan(
+      docs, "doc_id", "text", shingleK = 3, m = 128, bands = 32,
+      threshold = 0.5, seed = 42L, maxBucket = 64)
+    try {
+      // the drop-metrics aggregate must read the persisted band-group
+      // relation, not re-run the posexplode + band-hash shuffle (the
+      // round-3 3.4s -> 11.4s regression)
+      val dp = plan(drops.get)
+      assert(dp.contains("InMemoryTableScan"),
+        s"drop metrics must reuse the cached band groups:\n$dp")
+      // the live plan ABOVE the cache boundary must not rebuild the band
+      // hash (InMemoryRelation prints its cached build plan below it, so
+      // only the prefix before the first cache boundary is inspected)
+      val live = dp.substring(0, dp.indexOf("InMemoryRelation"))
+      assert(!live.contains("posexplode") && !live.contains("xxhash64"),
+        s"drop metrics re-runs the band shuffle:\n$dp")
+    } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
   test("wand topK issues no terms-table job (driver-side stats) and one blocks shuffle") {
     val idx = SparkEntry.indexFor(spark, sf)
     assert(idx.termsLocal.nonEmpty, "bounded vocab must resolve driver-side")
