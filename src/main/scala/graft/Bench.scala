@@ -95,7 +95,7 @@ object Bench {
     }
     def uncorroborated(n: String): Boolean = {
       val s = qSeries(n).sorted
-      s(1) / s(0) > 2.0
+      s.size >= 2 && s(1) / s(0) > 2.0
     }
     var extraQ = 0
     while (extraQ < 2 && named.exists(q => uncorroborated(q._1))) {
@@ -229,21 +229,42 @@ object Bench {
     val dpsFull = buildThroughput(cpus, benchDocs)
     def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
 
-    val qs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    // compact number: enough significant digits to grade, few enough chars
+    // that the final line always fits the driver's 2 KB tail capture
+    def cfmt(v: Double): String =
+      if (v >= 1000) String.format(Locale.ROOT, "%.0f", Double.box(v))
+      else if (v >= 10) String.format(Locale.ROOT, "%.1f", Double.box(v))
+      else String.format(Locale.ROOT, "%.2f", Double.box(v))
+
+    val qs = results.map { case (k, v) => s""""$k":${cfmt(v)}""" }.mkString("{", ",", "}")
     val qRuns = results.map { case (k, _) => s""""$k":${arr(qSeries(k).toSeq)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""query_runs":$qRuns,""" +
-        s""""query_latency_ms":{"p50":${fmt(p50)},"p95":${fmt(p95)},"concurrent_qps":${fmt(qps)},""" +
+
+    // evidence line: the full per-query series + corroboration runs. This
+    // line can outgrow any capture window, so it is printed FIRST and also
+    // written to bench_details.json — the parseable artifact is the compact
+    // summary line printed LAST (round-3's single giant line left the
+    // shipped artifact truncated mid-JSON).
+    val detail =
+      s"""{"metric":"series","sf":"$sfDir","query_runs":$qRuns,""" +
         s""""concurrent_qps_runs":${arr(qpsRuns.toSeq)},""" +
-        s""""serving_qps":${fmt(servingQps)},"serving_qps_mt16":${fmt(servingQpsMt)},""" +
-        s""""cluster4_qps_mt16":${fmt(clusterQpsMt)},"serving_phrase_qps":${fmt(phraseQps)}},""" +
+        s""""build_runs_n":${arr(series(nCores).toSeq)},"build_runs_4n":${arr(series(n4Cores).toSeq)}}"""
+    println(detail)
+    try Files.write(java.nio.file.Paths.get("bench_details.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => () } // evidence file is best-effort
+
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""query_latency_ms":{"p50":${cfmt(p50)},"p95":${cfmt(p95)},"concurrent_qps":${cfmt(qps)},""" +
+        s""""serving_qps":${cfmt(servingQps)},"serving_qps_mt16":${cfmt(servingQpsMt)},""" +
+        s""""cluster4_qps_mt16":${cfmt(clusterQpsMt)},"serving_phrase_qps":${cfmt(phraseQps)}},""" +
         s""""index_build":{"bench_docs":$benchDocs,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
-        s""""docs_per_sec_n":${fmt(dpsN)},"docs_per_sec_4n":${fmt(dps4N)},""" +
-        s""""runs_n":${arr(series(nCores).toSeq)},"runs_4n":${arr(series(n4Cores).toSeq)},""" +
-        s""""docs_per_sec_local$cpus":${fmt(dpsFull)},""" +
-        s""""scaling_efficiency_n_to_4n":${fmt(efficiency)}}}""")
+        s""""docs_per_sec_n":${cfmt(dpsN)},"docs_per_sec_4n":${cfmt(dps4N)},""" +
+        s""""docs_per_sec_local$cpus":${cfmt(dpsFull)},""" +
+        s""""scaling_efficiency_n_to_4n":${fmt(efficiency)}},""" +
+        s""""series":"bench_details.json"}"""
+    println(summary)
   }
 }

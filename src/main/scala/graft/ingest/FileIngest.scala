@@ -160,4 +160,178 @@ object FileIngest {
     IngestSummary(reports.toSeq, processed + failed, processed, failed,
       verified = actual >= processed)
   }
+
+  /** input_file_name() returns a URI ("file:///tmp/a.csv"); the ledger and
+    * reports key on the caller's plain path — normalize to compare.
+    */
+  private[ingest] def fileUriToPath(uri: String): String =
+    uri.replaceFirst("^file:/+", "/")
+
+  private def normFileCol =
+    regexp_replace(input_file_name(), "^file:/+", "/")
+
+  /** Throughput form of `ingest`: same per-file ledger / report / DLQ
+    * semantics, but same-format files are read in ONE multi-path Spark
+    * pass instead of a serial driver loop (~3 jobs per file — at 10k
+    * small files the loop, not the cluster, bounds throughput; the
+    * reference works around the same bound with a 4-worker thread pool,
+    * file_processor.py:473-502). Per-file attribution rides
+    * `input_file_name()`:
+    *   - reports/ledger: one groupBy over the parsed batch
+    *   - DLQ: sourceFile comes from the row's own file
+    *   - upsert: last-write-wins within (file, id), so duplicate ids
+    *     across files append exactly as the serial loop appends them
+    * CSV files batch by identical header line (read driver-side, no job);
+    * JSON batches whole. A group whose read fails falls back to the
+    * serial per-file path, so a single poisoned file degrades only its
+    * own group's speed, never correctness.
+    */
+  def ingestBatched(
+      spark: SparkSession,
+      files: Seq[String],
+      targetPath: String,
+      ledgerPath: String,
+      dlqPath: String,
+      resume: Boolean = false): IngestSummary = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    import spark.implicits._
+
+    val done: Set[String] =
+      if (resume && new java.io.File(ledgerPath).exists())
+        spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet
+      else Set.empty
+    val (skipped, pending) = files.partition(done.contains)
+
+    // group by parse recipe: (kind, header). Header reads are driver-side
+    // metadata-only (first line), no Spark job.
+    def headerOf(p: String): Option[String] =
+      try {
+        val s = java.nio.file.Files.lines(java.nio.file.Paths.get(p))
+        try {
+          val first = s.findFirst()
+          if (first.isPresent) Some(first.get) else None
+        } finally s.close()
+      } catch { case _: Exception => None }
+
+    val reports = scala.collection.mutable.LinkedHashMap.empty[String, FileReport]
+    skipped.foreach(f => reports(f) = FileReport(f, 0L, 0L, "skipped"))
+    var processed = 0L
+    var failed = 0L
+    val ledgered = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // serial fallback shares the single-file path verbatim
+    def serialOne(f: String): Unit =
+      try {
+        val (good, failedRecs, cacheHandle) = parseFileWithFailures(spark, f)
+        val coerced = Coerce.documents(good)
+        val deduped =
+          if (coerced.columns.contains("id"))
+            Upsert.lastWriteWins(withRowOrder(coerced, "__ord"), "id", Seq("__ord"))
+              .drop("__ord")
+          else coerced
+        val n = deduped.count()
+        deduped.write.mode("append").parquet(targetPath)
+        val bad = failedRecs.count()
+        if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
+        cacheHandle.foreach(_.unpersist(blocking = false))
+        ledgered += f
+        processed += n
+        failed += bad
+        reports(f) = FileReport(f, n + bad, bad, if (bad == 0) "success" else "partial")
+      } catch {
+        case e: Exception => reports(f) = FileReport(f, 0L, 0L, s"failed: ${e.getMessage}")
+      }
+
+    def processGroup(paths: Seq[String], parse: () => DataFrame): Unit = {
+      try {
+        val raw = parse()
+        val hasCorrupt = raw.columns.contains(Corrupt)
+        val withFile = raw.withColumn("__file", normFileCol)
+        val cached = withFile.persist()
+        try {
+          val badCol =
+            if (hasCorrupt) sum(when(col(Corrupt).isNotNull, 1L).otherwise(0L))
+            else sum(lit(0L))
+          val perFile = cached.groupBy("__file")
+            .agg(count(lit(1)).as("total"), badCol.as("bad"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+            .toMap
+          if (hasCorrupt) {
+            val failedRecs = cached.filter(col(Corrupt).isNotNull).select(
+              col("__file").as("sourceFile"),
+              col(Corrupt).cast(StringType).as("docJson"),
+              lit("parse_error").as("errorType"),
+              lit("malformed row").as("errorReason"))
+            if (perFile.valuesIterator.map(_._2).sum > 0)
+              Dlq.writeRecords(failedRecs, dlqPath)
+          }
+          val good =
+            (if (hasCorrupt) cached.filter(col(Corrupt).isNull).drop(Corrupt) else cached)
+          val coerced = Coerce.withMapping(good,
+            Map("__file" -> Coerce.KeywordField)) // keep the key untouched
+          val deduped =
+            if (coerced.columns.contains("id")) {
+              // per-file LWW exactly as the serial loop: the window
+              // partitions by (file, id), so cross-file duplicates append
+              import org.apache.spark.sql.expressions.Window
+              val w = Window.partitionBy(col("__file"), col("id"))
+                .orderBy(col("__ord").desc)
+              withRowOrder(coerced, "__ord")
+                .withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn", "__ord")
+            } else coerced
+          deduped.drop("__file").write.mode("append").parquet(targetPath)
+          val writtenPerFile = deduped.groupBy("__file").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // report under the caller's spelling of each path
+          paths.foreach { p =>
+            val norm = fileUriToPath(new java.io.File(p).toURI.toString)
+            val (_, bad) = perFile.getOrElse(norm, (0L, 0L))
+            val n = writtenPerFile.getOrElse(norm, 0L)
+            ledgered += p
+            processed += n
+            failed += bad
+            reports(p) = FileReport(p, n + bad, bad, if (bad == 0) "success" else "partial")
+          }
+        } finally cached.unpersist(blocking = false)
+      } catch {
+        case _: Exception => paths.foreach(serialOne) // group poisoned: per-file
+      }
+    }
+
+    val (csvs, rest) = pending.partition(_.toLowerCase(java.util.Locale.ROOT).endsWith(".csv"))
+    val (jsons, others) = rest.partition(_.toLowerCase(java.util.Locale.ROOT).endsWith(".json"))
+    others.foreach(serialOne) // unsupported extensions fail per file, as serial
+
+    // CSV: one batch per distinct header (schema recipe); headerless files
+    // take the serial path
+    val (headed, headless) = csvs.map(p => p -> headerOf(p)).partition(_._2.isDefined)
+    headless.map(_._1).foreach(serialOne)
+    headed.groupBy(_._2.get).foreach { case (_, grp) =>
+      val paths = grp.map(_._1)
+      processGroup(paths, () => {
+        val inferred = spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(paths: _*).schema
+        spark.read.option("header", "true")
+          .schema(inferred.add(Corrupt, StringType))
+          .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", Corrupt)
+          .csv(paths: _*)
+      })
+    }
+
+    if (jsons.nonEmpty) processGroup(jsons, () =>
+      spark.read.option("multiLine", "true")
+        .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", Corrupt)
+        .json(jsons: _*))
+
+    if (ledgered.nonEmpty)
+      ledgered.toSeq.toDF("file").write.mode("append").parquet(ledgerPath)
+
+    val actual = spark.read.parquet(targetPath).count()
+    // emit reports in the caller's file order
+    val ordered = files.map(f => reports.getOrElse(f, FileReport(f, 0L, 0L, "skipped")))
+    IngestSummary(ordered, processed + failed, processed, failed,
+      verified = actual >= processed)
+  }
 }

@@ -224,6 +224,29 @@ object Guardrails {
           Abort(s"alias '$alias' points at $cur, not the expected source ${src.root}")
         else validateSwitch(src.root, tgt.root, srcCount, tgtCount, thresholdPct)
     }
+
+  /** The same guard chain over parquet/Iceberg TABLE paths (the ingestion
+    * lifecycle's "index" unit) — existence = the table directory exists.
+    * Same validation order as the reference (switch_alias.py:271-296):
+    * alias → source → target → pointer → counts.
+    */
+  def validateSwitchTables(
+      catalog: graft.index.AliasCatalog,
+      alias: String,
+      srcPath: String,
+      tgtPath: String,
+      srcCount: Long,
+      tgtCount: Long,
+      thresholdPct: Double = DefaultDriftThresholdPct): SwitchDecision =
+    catalog.resolve(alias) match {
+      case None => Abort(s"alias '$alias' does not exist")
+      case Some(cur) =>
+        if (!new java.io.File(srcPath).exists) Abort(s"source table $srcPath does not exist")
+        else if (!new java.io.File(tgtPath).exists) Abort(s"target table $tgtPath does not exist")
+        else if (cur != srcPath)
+          Abort(s"alias '$alias' points at $cur, not the expected source $srcPath")
+        else validateSwitch(srcPath, tgtPath, srcCount, tgtCount, thresholdPct)
+    }
 }
 
 object Cleanup {
@@ -313,6 +336,8 @@ object Dlq {
   */
 object Reindex {
   def copy(spark: SparkSession, srcPath: String, tgtPath: String): Long = {
+    // overwrite-into-self truncates the source mid-read — never legal
+    require(srcPath != tgtPath, s"reindex source and target are the same table: $srcPath")
     val src = spark.read.parquet(srcPath)
     val n = src.count()
     require(n > 0, s"source $srcPath is empty") // reindex.py:100-107 semantics

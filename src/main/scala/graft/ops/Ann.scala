@@ -108,38 +108,13 @@ object Ann {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, nPlanes, seed + 7919L * t))
 
-    val corpusKeys = udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      Array.tabulate(nTables)(t => (t.toLong << (nPlanes + 1)) | signBucket(a, tables(t)))
-    }
-    val queryKeys = udf { (v: Seq[Double]) =>
-      val a = v.toArray
-      val out = Array.newBuilder[Long]
-      var t = 0
-      while (t < nTables) {
-        val tag = t.toLong << (nPlanes + 1)
-        val base = signBucket(a, tables(t))
-        out += (tag | base)
-        if (probeBits >= 1) {
-          var i = 0
-          while (i < nPlanes) {
-            out += (tag | (base ^ (1L << i)))
-            if (probeBits >= 2) {
-              var j = i + 1
-              while (j < nPlanes) { out += (tag | (base ^ (1L << i) ^ (1L << j))); j += 1 }
-            }
-            i += 1
-          }
-        }
-        t += 1
-      }
-      out.result()
-    }
-
+    // bucket keys via the codegen'd LshBucketKeys expression — the corpus
+    // side runs it over every row at scale, so no ScalaUDF hop; the query
+    // side multi-probes (probeBits) on the tiny broadcast frame
     val c = withNorm(prep(corpus, idCol, vecCol), idCol, "nbr_id", "v_c")
-      .withColumn("key", explode(corpusKeys(col("v_c"))))
+      .withColumn("key", explode(annFunctions.lshKeys(col("v_c"), tables, 0)))
     val q = withNorm(prep(queries, idCol, vecCol), idCol, "query_id", "v_q")
-      .withColumn("key", explode(queryKeys(col("v_q"))))
+      .withColumn("key", explode(annFunctions.lshKeys(col("v_q"), tables, probeBits)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     c.join(broadcast(q), "key")
@@ -227,22 +202,14 @@ object Ann {
     import spark.implicits._
     val centroids = trainIvfCentroids(corpus, nCells, seed = seed,
       idCol = idCol, vecCol = vecCol)
-    val bc = spark.sparkContext.broadcast(centroids)
-    def nearestCells(n: Int) = udf { (v: Seq[Double]) =>
-      val cs = bc.value
-      var s = 0.0; v.foreach(x => s += x * x)
-      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
-      val nv = v.map(_ * inv).toArray
-      cs.indices.map { c =>
-        var d = 0.0; var i = 0
-        while (i < nv.length) { val x = nv(i) - cs(c)(i); d += x * x; i += 1 }
-        (d, c)
-      }.sortBy(_._1).take(n).map(_._2)
-    }
+    // cell assignment via the codegen'd IvfCells expression (the centroid
+    // table rides the plan as a reference object — kilobytes); identical
+    // normalize + squared-distance + (distance, index) ordering as the
+    // former UDF, so assignments are bit-identical
     val c = withNorm(prep(corpus, idCol, vecCol), idCol, "nbr_id", "v_c")
-      .withColumn("cell", explode(nearestCells(nAssign)(col("v_c"))))
+      .withColumn("cell", explode(annFunctions.ivfCells(col("v_c"), centroids, nAssign)))
     val q = withNorm(prep(queries, idCol, vecCol), idCol, "query_id", "v_q")
-      .withColumn("cell", explode(nearestCells(nProbe)(col("v_q"))))
+      .withColumn("cell", explode(annFunctions.ivfCells(col("v_q"), centroids, nProbe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id").asc)
     val scored = c.join(broadcast(q), "cell")
@@ -323,22 +290,6 @@ object Ann {
     }
     val p0 = planes0
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, p0, seed + 7919L * t))
-    val keysOf = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val keys = Array.newBuilder[Long]
-      var t = 0
-      while (t < tables.length) {
-        val base = signBucket(arr, tables(t))
-        val tag = t.toLong << (p0 + 1)
-        keys += (tag | base)
-        if (probeBits >= 1) {
-          var b = 0
-          while (b < p0) { keys += (tag | (base ^ (1L << b))); b += 1 }
-        }
-        t += 1
-      }
-      keys.result()
-    }
 
     val p = prep(df, idCol, vecCol)
     val vecs = withNorm(p, idCol, "id", "v").persist(
@@ -347,9 +298,11 @@ object Ann {
     // candidate generation as a key self-join, NOT collect_list + explode:
     // grouped bucket rows are few and byte-small, so AQE coalesces them to
     // one partition and the quadratic pair expansion runs on one core —
-    // the join keeps the expansion distributed across the key hash space
+    // the join keeps the expansion distributed across the key hash space.
+    // Keys come from the codegen'd LshBucketKeys expression (this map runs
+    // over every corpus row — no ScalaUDF hop).
     val entries = vecs
-      .select(col("id"), explode(keysOf(col("v"))).as("key"))
+      .select(col("id"), explode(annFunctions.lshKeys(col("v"), tables, probeBits)).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket sizes computed ONCE (tiny: one row per distinct key,
     // persisted) and consumed by both the cap filter and the drop-metrics

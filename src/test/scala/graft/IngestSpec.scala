@@ -248,4 +248,76 @@ class IngestSpec extends AnyFunSuite {
     assert(batched.length == 3)
     assert(batched.map(_.count(_ == '\n') + 1).sum == 10) // 5 docs x 2 lines
   }
+
+  test("batched ingest: 100-file parity with the serial loop, materially faster") {
+    val base = Files.createTempDirectory("graft-batch-ingest-").toString
+    // 100 files: 90 CSVs sharing a header (some with in-file duplicate ids
+    // and malformed numeric cells), 10 JSON files — the many-small-files
+    // shape where the serial driver loop, not the cluster, is the bound
+    val csvFiles = (1 to 90).map { i =>
+      val p = s"$base/f$i.csv"
+      val rows = (1 to 5).map { r =>
+        val id = i * 100 + r
+        // extra tokens → corrupt under the 3-column schema (a wrong TYPE
+        // would just widen inference — the reference's malformed-row case
+        // is shape, not type)
+        val v = if (i % 7 == 0 && r == 3) s"$r.5,EXTRA,COLS" else s"$r.5"
+        val dup = if (r == 5) s"\n${i * 100 + 1},dupname,9.9" else ""
+        s"$id,name$id,$v$dup"
+      }
+      Files.writeString(java.nio.file.Paths.get(p),
+        "id,name,value\n" + rows.mkString("\n") + "\n")
+      p
+    }
+    val jsonFiles = (1 to 10).map { i =>
+      val p = s"$base/g$i.json"
+      Files.writeString(java.nio.file.Paths.get(p),
+        s"""[{"id": ${9000 + i}, "name": "j$i", "value": ${i}.25}]""")
+      p
+    }
+    val all: Seq[String] = (csvFiles ++ jsonFiles)
+
+    def run(tag: String, fn: () => FileIngest.IngestSummary) = {
+      val t0 = System.nanoTime()
+      val s = fn()
+      (s, (System.nanoTime() - t0) / 1e9)
+    }
+    val (serial, tSerial) = run("serial", () =>
+      FileIngest.ingest(spark, all, s"$base/t_serial", s"$base/l_serial", s"$base/d_serial"))
+    val (batched, tBatched) = run("batched", () =>
+      FileIngest.ingestBatched(spark, all, s"$base/t_batch", s"$base/l_batch", s"$base/d_batch"))
+
+    // summary parity: same totals and identical per-file reports
+    assert(batched.processedRows == serial.processedRows)
+    assert(batched.failedRows == serial.failedRows && batched.failedRows > 0)
+    assert(batched.verified && serial.verified)
+    assert(batched.files.map(f => (f.file, f.totalRows, f.failedRows, f.status)) ==
+      serial.files.map(f => (f.file, f.totalRows, f.failedRows, f.status)))
+
+    // target parity: identical rows (the in-file duplicate id upserted)
+    def dump(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getAs[Double]("id"), r.getAs[String]("name"),
+        Option(r.getAs[java.lang.Double]("value")))).toSet
+    assert(dump(s"$base/t_batch") == dump(s"$base/t_serial"))
+
+    // ledger parity
+    import spark.implicits._
+    def ledger(p: String) = spark.read.parquet(p).select("file").as[String].collect().toSet
+    assert(ledger(s"$base/l_batch") == ledger(s"$base/l_serial"))
+
+    // DLQ parity: the same failed documents, attributed to the same files
+    def dlq(p: String) = spark.read.parquet(p)
+      .select("sourceFile", "docJson").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dlq(s"$base/d_batch") == dlq(s"$base/d_serial"))
+
+    // resume parity: a second batched run skips everything
+    val again = FileIngest.ingestBatched(spark, all,
+      s"$base/t_batch", s"$base/l_batch", s"$base/d_batch", resume = true)
+    assert(again.files.forall(_.status == "skipped"))
+
+    info(f"serial=${tSerial}%.1fs batched=${tBatched}%.1fs speedup=${tSerial / tBatched}%.1fx")
+    assert(tBatched < tSerial * 0.5,
+      f"batched ingest must be materially faster: $tBatched%.1fs vs $tSerial%.1fs")
+  }
 }

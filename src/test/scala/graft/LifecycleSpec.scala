@@ -174,4 +174,63 @@ class LifecycleSpec extends AnyFunSuite {
     val drifted = Guardrails.validateSwitch("a", "b", 105, 50)
     assert(drifted.isInstanceOf[Guardrails.Abort])
   }
+
+  test("one-call zero-downtime refresh: facade drives the full cycle with guards") {
+    import graft.index.AliasCatalog
+    import graft.ingest.ZeroDowntime
+    val base = Files.createTempDirectory("graft-zdf-").toString
+    val primary = s"$base/idx_primary"
+    val secondary = s"$base/idx_secondary"
+    val ledger = s"$base/ledger"
+    val dlq = s"$base/dlq"
+    def csv(name: String, ids: Range): String = {
+      val p = s"$base/$name"
+      Files.writeString(java.nio.file.Paths.get(p),
+        "id,name,value\n" + ids.map(i => s"$i,n$i,${i}.5").mkString("\n") + "\n")
+      p
+    }
+    // seed the primary through the same ingest path (schema-identical)
+    val seed = csv("seed.csv", 1 to 100)
+    assert(FileIngest.ingest(spark, Seq(seed), primary, ledger, dlq).verified)
+    val cat = new AliasCatalog(s"$base/aliases")
+
+    // precheck aborts: missing alias, then alias on the wrong target
+    val delta = csv("delta.csv", 101 to 105)
+    val e1 = intercept[ZeroDowntime.RefreshAbortedException] {
+      ZeroDowntime.refresh(spark, cat, "live", primary, secondary, Seq(delta), ledger, dlq)
+    }
+    assert(e1.step == "precheck" && e1.reason.contains("does not exist"))
+    cat.set("live", s"$base/elsewhere")
+    val e2 = intercept[ZeroDowntime.RefreshAbortedException] {
+      ZeroDowntime.refresh(spark, cat, "live", primary, secondary, Seq(delta), ledger, dlq)
+    }
+    assert(e2.step == "precheck" && e2.reason.contains("not the expected primary"))
+
+    // same-index guard (reference test_switch_alias parity)
+    cat.set("live", primary)
+    val e3 = intercept[ZeroDowntime.RefreshAbortedException] {
+      ZeroDowntime.refresh(spark, cat, "live", primary, primary, Seq(delta), ledger, dlq)
+    }
+    assert(e3.step == "precheck" && e3.reason.contains("same index"))
+    assert(cat.resolve("live").contains(primary)) // alias untouched by the abort
+
+    // happy path: snapshot serves while primary takes the delta, then back
+    val report = ZeroDowntime.refresh(
+      spark, cat, "live", primary, secondary, Seq(delta), ledger, dlq)
+    assert(report.copiedRows == 100)
+    assert(report.ingest.processedRows == 5 && report.ingest.failedRows == 0)
+    assert(cat.resolve("live").contains(primary))
+    assert(spark.read.parquet(primary).count() == 105)
+    assert(spark.read.parquet(secondary).count() == 100) // the serving snapshot
+
+    // drift abort: a batch growing the primary >10% vs the snapshot must
+    // refuse the switch back and LEAVE READS ON THE SECONDARY
+    val big = csv("big.csv", 200 to 260)
+    val e4 = intercept[ZeroDowntime.RefreshAbortedException] {
+      ZeroDowntime.refresh(spark, cat, "live", primary, secondary, Seq(big), ledger, dlq)
+    }
+    assert(e4.step == "switch-to-primary" && e4.reason.contains("drift"))
+    assert(cat.resolve("live").contains(secondary),
+      "alias must stay on the last good target after a late abort")
+  }
 }

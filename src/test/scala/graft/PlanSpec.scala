@@ -74,6 +74,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ANN bucket keys are codegen expressions — no UDF node on the corpus side") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 2)
+    val pLsh = plan(graft.ops.Ann.lshTopK(emb, q, k = 5))
+    val pIvf = plan(graft.ops.Ann.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 2))
+    val pNd = plan(graft.ops.Ann.lshNearDupPairsPlan(emb, threshold = 0.4)._1)
+    for ((name, p) <- Seq(("lshTopK", pLsh), ("ivfTopK", pIvf), ("lshNearDupPairs", pNd))) {
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+        s"$name still plans a UDF hop:\n$p")
+    }
+    assert(pLsh.contains("graft_lsh_keys"), pLsh)
+    assert(pIvf.contains("graft_ivf_cells"), pIvf)
+    assert(pNd.contains("graft_lsh_keys"), pNd)
+  }
+
   test("decontaminate broadcasts the benchmark shingles — corpus side scan-shaped") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ops.Curation.decontaminate(
