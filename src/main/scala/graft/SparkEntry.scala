@@ -260,12 +260,17 @@ object SparkEntry {
     // ---- A5/A6: postings + stats decoded from the compressed index ----
     "q_postings" -> ((s, d) => {
       import s.implicits._
-      indexFor(s, d).postings.flatMap { b =>
-        val docs = graft.index.VByte.undeltas(b.firstDoc,
-          graft.index.Codecs.decode(b.codec, b.docDeltas, b.n))
-        val tfs = graft.index.Codecs.decode(b.codec, b.tfs, b.n)
-        docs.indices.map(i => (b.term, docs(i), tfs(i)))
-      }.toDF("term", "doc_id", "tf")
+      // (term, doc, tf) dump never reads positions — prune them from the
+      // scan exactly as the WAND path does
+      indexFor(s, d).postings
+        .withColumn("positions", lit(null).cast("binary"))
+        .as[graft.index.PostingBlock]
+        .flatMap { b =>
+          val docs = graft.index.VByte.undeltas(b.firstDoc,
+            graft.index.Codecs.decode(b.codec, b.docDeltas, b.n))
+          val tfs = graft.index.Codecs.decode(b.codec, b.tfs, b.n)
+          docs.indices.map(i => (b.term, docs(i), tfs(i)))
+        }.toDF("term", "doc_id", "tf")
     }),
 
     "q_term_stats" -> ((s, d) =>

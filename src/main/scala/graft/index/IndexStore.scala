@@ -153,6 +153,58 @@ final class IndexStore(val root: String) {
     OpenIndex(this, postings, norms, terms, docs, slices)
   }
 
+  // ---- settings / mappings management surface (the reference's
+  // get-settings / get-mappings / get-aliases getters,
+  // opensearch_base_manager.py:484-534; aliases live in AliasCatalog).
+  // Stored as flat JSON next to the manifest, committed by atomic rename,
+  // so drop-and-recreate can round-trip user settings through
+  // `Cleanup.recreateSettings` without the caller re-supplying them. ----
+
+  private def kvPath(kind: String) = rootPath.resolve(s"$kind.json")
+
+  private def writeKv(kind: String, m: Map[String, String]): Unit = {
+    Files.createDirectories(rootPath)
+    val tmp = rootPath.resolve(s"$kind.json.tmp")
+    Files.write(tmp, FlatJson.render(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, kvPath(kind), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readKv(kind: String): Map[String, String] =
+    if (!Files.exists(kvPath(kind))) Map.empty
+    else FlatJson.parse(Files.readString(kvPath(kind)))
+
+  /** Engine-assigned identity settings, stamped at first write (the
+    * reference's creation_date/uuid/provided_name class — exactly what
+    * `Cleanup.recreateSettings` must strip on recreate).
+    */
+  def setSettings(settings: Map[String, String]): Unit = {
+    val existing = readKv("settings")
+    // engine-assigned identity: stamped once at first write, never
+    // caller-writable afterwards (the reference's immutable class)
+    val identity =
+      if (existing.isEmpty) Map(
+        "creation_date" -> System.currentTimeMillis().toString,
+        "uuid" -> java.util.UUID.randomUUID().toString,
+        "provided_name" -> rootPath.getFileName.toString)
+      else existing.view.filterKeys(immutableKey).toMap
+    // merge semantics (the reference's PUT-settings): supplied keys update,
+    // unmentioned user keys survive, immutable keys are never writable
+    val user = existing.view.filterKeys(k => !immutableKey(k)).toMap ++
+      settings.view.filterKeys(k => !immutableKey(k)).toMap
+    writeKv("settings", user ++ identity)
+  }
+
+  private def immutableKey(k: String) =
+    graft.ingest.Cleanup.ImmutableSettings.contains(k)
+
+  def settings: Map[String, String] = readKv("settings")
+
+  /** Field-name → mapping-type-name table (the reference's mappings
+    * getter; the type names are the `Coerce.FieldType` vocabulary).
+    */
+  def setMappings(mappings: Map[String, String]): Unit = writeKv("mappings", mappings)
+  def mappings: Map[String, String] = readKv("mappings")
+
   /** Corpus stats derived from committed slice metrics + docs table. */
   def stats(spark: SparkSession): IndexStats = {
     val d = readTable(spark, "docs")
@@ -205,6 +257,50 @@ case class OpenIndex(
       Some(spark.sparkContext.broadcast(norms.collect().map(n => n.seg -> n).toMap))
     else None
   }
+}
+
+/** Flat string→string JSON object (settings/mappings files, no deps). */
+private[index] object FlatJson {
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o => sb += o; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  def render(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+
+  private val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  def parse(json: String): Map[String, String] =
+    pair.findAllMatchIn(json).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
 }
 
 /** Minimal hand-rolled JSON for the manifest (flat schema, no deps). */

@@ -249,6 +249,34 @@ class IngestSpec extends AnyFunSuite {
     assert(batched.map(_.count(_ == '\n') + 1).sum == 10) // 5 docs x 2 lines
   }
 
+  test("settings/mappings store: round-trip, immutable identity, recreate filter") {
+    val dir = Files.createTempDirectory("graft-settings-").toString
+    val store = new graft.index.IndexStore(s"$dir/idx_a")
+    store.setSettings(Map("number_of_shards" -> "4", "refresh_interval" -> "30s",
+      "uuid" -> "caller-supplied"))
+    val s1 = store.settings
+    assert(s1("number_of_shards") == "4" && s1("refresh_interval") == "30s")
+    assert(s1("uuid") != "caller-supplied", "identity keys are engine-assigned")
+    assert(s1.contains("creation_date") && s1("provided_name") == "idx_a")
+    // PUT-settings merge: updated key changes, unmentioned keys survive,
+    // identity is stable across updates
+    store.setSettings(Map("number_of_shards" -> "8"))
+    val s2 = store.settings
+    assert(s2("number_of_shards") == "8" && s2("refresh_interval") == "30s")
+    assert(s2("uuid") == s1("uuid") && s2("creation_date") == s1("creation_date"))
+    // mappings round-trip incl. JSON escaping
+    val m = Map("ts" -> "date", "geo" -> "geo_point", "weird \"na\\me\"" -> "keyword")
+    store.setMappings(m)
+    assert(store.mappings == m)
+    // drop-and-recreate: user settings round-trip through the filter,
+    // engine identity is freshly assigned (index_cleanup.py:172-186)
+    val recreated = new graft.index.IndexStore(s"$dir/idx_b")
+    recreated.setSettings(Cleanup.recreateSettings(store.settings))
+    val s3 = recreated.settings
+    assert(s3("number_of_shards") == "8" && s3("refresh_interval") == "30s")
+    assert(s3("uuid") != s1("uuid") && s3("provided_name") == "idx_b")
+  }
+
   test("batched ingest: 100-file parity with the serial loop, materially faster") {
     val base = Files.createTempDirectory("graft-batch-ingest-").toString
     // 100 files: 90 CSVs sharing a header (some with in-file duplicate ids
