@@ -156,10 +156,17 @@ object FileIngest {
 
     // count verification (reference bulkupdate.py:92-135): target table
     // must contain at least the rows processed in this run
-    val actual = spark.read.parquet(targetPath).count()
     IngestSummary(reports.toSeq, processed + failed, processed, failed,
-      verified = actual >= processed)
+      verified = targetCount(spark, targetPath) >= processed)
   }
+
+  /** Target row count for verification; a target that was never created
+    * (every file failed before its first write) counts as 0 rather than a
+    * read error — verification then fails exactly when rows were lost.
+    */
+  private def targetCount(spark: SparkSession, targetPath: String): Long =
+    if (!new java.io.File(targetPath).exists) 0L
+    else spark.read.parquet(targetPath).count()
 
   /** input_file_name() returns a URI ("file:///tmp/a.csv"); the ledger and
     * reports key on the caller's plain path — normalize to compare.
@@ -328,10 +335,9 @@ object FileIngest {
     if (ledgered.nonEmpty)
       ledgered.toSeq.toDF("file").write.mode("append").parquet(ledgerPath)
 
-    val actual = spark.read.parquet(targetPath).count()
     // emit reports in the caller's file order
     val ordered = files.map(f => reports.getOrElse(f, FileReport(f, 0L, 0L, "skipped")))
     IngestSummary(ordered, processed + failed, processed, failed,
-      verified = actual >= processed)
+      verified = targetCount(spark, targetPath) >= processed)
   }
 }

@@ -375,21 +375,43 @@ object Dedup {
 
     // hot shingles are guarded out loudly, never silently. The df-count
     // relation is computed ONCE (tiny: one row per distinct shingle,
-    // persisted) and consumed by both the guard semi-join and the
-    // drop-metrics aggregate — no duplicated count shuffle.
+    // persisted) and consumed by the guard and the drop-metrics aggregate
+    // — no duplicated count shuffle. The guard itself INVERTS the join:
+    // hot shingles are by definition few distinct VALUES (that's what
+    // makes them hot), so a broadcast anti-join against the hot set costs
+    // a scan instead of shuffling the whole (id, shingle) stream against
+    // the huge OK-key set — the bounded default is now as cheap as
+    // unbounded plus one count aggregate. A pathological corpus whose hot
+    // set outgrows the broadcast cap falls back to the semi-join.
     val (filtered, dropsDf, dfCached) =
       if (maxShingleDf == Long.MaxValue) (docShingles, None, None)
       else {
         val dfCounts = docShingles.groupBy("shingle")
           .agg(count(lit(1)).as("sdf"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val drops = dfCounts
-          .filter(col("sdf") > maxShingleDf)
+        val hot = dfCounts.filter(col("sdf") > maxShingleDf)
+        // one aggregate over the persisted counts serves BOTH the
+        // broadcast-size decision and the drop metrics (materialized here,
+        // handed to CacheScope.seal as a local row — no recompute)
+        val dropRow = hot
           .agg(count(lit(1)).as("dropped_groups"),
             coalesce(sum(col("sdf")), lit(0L)).as("dropped_entries"))
-        (docShingles.join(
-          dfCounts.filter(col("sdf") <= maxShingleDf).select("shingle"),
-          Seq("shingle"), "left_semi"),
+          .head()
+        val drops = spark.createDataFrame(
+          java.util.Collections.singletonList(dropRow),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dropped_groups",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("dropped_entries",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val maxBroadcastHot = 1L << 22
+        val guarded =
+          if (dropRow.getLong(0) <= maxBroadcastHot)
+            docShingles.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+          else docShingles.join(
+            dfCounts.filter(col("sdf") <= maxShingleDf).select("shingle"),
+            Seq("shingle"), "left_semi")
+        (guarded,
           Some(drops): Option[DataFrame],
           Some(dfCounts): Option[DataFrame])
       }

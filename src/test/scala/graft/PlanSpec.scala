@@ -137,6 +137,20 @@ class PlanSpec extends AnyFunSuite {
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 
+  test("bounded ngram guard is a broadcast anti-join of the (few) hot shingles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (out, cached, _) = graft.ops.Dedup.ngramJaccardPairsPlan(
+      docs, "doc_id", "text", shingleK = 3, threshold = 0.5,
+      maxShingleDf = graft.ops.Dedup.DefaultMaxShingleDf)
+    try {
+      // hot shingles are few by definition — the guard must ride a
+      // broadcast anti-join, not shuffle the stream against the OK keys
+      val p = plan(out)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"bounded guard should broadcast the hot set:\n$p")
+    } finally cached.foreach(_.unpersist(blocking = false))
+  }
+
   test("wand topK issues no terms-table job (driver-side stats) and one blocks shuffle") {
     val idx = SparkEntry.indexFor(spark, sf)
     assert(idx.termsLocal.nonEmpty, "bounded vocab must resolve driver-side")
