@@ -326,12 +326,15 @@ object Dedup {
       col("id").as("id_a"), col("sim").as("sim_a")).hint("shuffle_hash")
     val b = sides.select(col("band"), col("key"),
       col("id").as("id_b"), col("sim").as("sim_b"))
+    // hamming is per-row codegen math — filtering BEFORE the distinct
+    // keeps far-apart candidate pairs (the bulk, under pigeonhole
+    // blocking) out of the dedup shuffle entirely
     val out = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
     (out, Seq(banded))
   }
 
