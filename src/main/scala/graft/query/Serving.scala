@@ -58,21 +58,34 @@ private[query] final class FullDecodeCache(blocks: Array[PostingBlock]) extends 
   * only changes WHERE the decode happens.
   */
 private[query] final class ClockDecodeCache(budget: Long) extends BlockCache {
-  private final class Entry(val decoded: (Array[Long], Array[Long])) {
+  private val c = new ClockCache[(Array[Long], Array[Long])](
+    budget, TermPostings.decodeBlock, (b, _) => Serving.decodedBytes(b))
+  def get(b: PostingBlock): (Array[Long], Array[Long]) = c.get(b)
+  def loadedBytes: Long = c.loadedBytes
+}
+
+/** Generic bounded CLOCK cache over per-block decoded values — shared by
+  * the postings decode cache and the phrase positions cache.
+  */
+private[query] final class ClockCache[V <: AnyRef](
+    budget: Long,
+    decode: PostingBlock => V,
+    sizeOf: (PostingBlock, V) => Long) {
+  private final class Entry(val decoded: V, val size: Long) {
     @volatile var referenced: Boolean = false
   }
   private val m = new java.util.concurrent.ConcurrentHashMap[PostingBlock, Entry]()
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[PostingBlock]()
   private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def get(b: PostingBlock): (Array[Long], Array[Long]) = {
+  def get(b: PostingBlock): V = {
     val hit = m.get(b)
     if (hit != null) { hit.referenced = true; return hit.decoded }
-    val d = TermPostings.decodeBlock(b)
-    val prev = m.putIfAbsent(b, new Entry(d))
+    val d = decode(b)
+    val prev = m.putIfAbsent(b, new Entry(d, sizeOf(b, d)))
     if (prev != null) { prev.referenced = true; return prev.decoded }
     order.add(b)
-    var cur = bytes.addAndGet(Serving.decodedBytes(b))
+    var cur = bytes.addAndGet(sizeOf(b, d))
     // second chances are bounded by one full lap of the queue — when every
     // entry is referenced the scan degrades to FIFO rather than spinning
     var chances = m.size() + 1
@@ -86,7 +99,7 @@ private[query] final class ClockDecodeCache(budget: Long) extends BlockCache {
         chances -= 1
         order.add(victim) // spared: recently used
       } else if (m.remove(victim) != null) {
-        cur = bytes.addAndGet(-Serving.decodedBytes(victim))
+        cur = bytes.addAndGet(-e.size)
       } else cur = bytes.get()
     }
     d
@@ -101,12 +114,20 @@ final class ServingIndex private[query] (
     termDf: java.util.HashMap[String, Long],
     val stats: IndexStats,
     /** Compressed positional payload retained on-heap by a positional
-      * slice (decoded on demand per phrase query, never cached) — real
-      * serving footprint, counted against the open budget.
+      * slice — real serving footprint, counted against the open budget.
       */
-    val retainedPositionBytes: Long = 0L) {
+    val retainedPositionBytes: Long = 0L,
+    /** Decoded-positions cache for hot phrase traffic, sized to the
+      * HEADROOM the open budget left after the pre-decoded postings and
+      * the retained compressed positions — absent when the budget is
+      * already tight (phrase queries then decode per query, the classic
+      * positional trade). Bit-identity unconditional.
+      */
+    posCache: Option[ClockCache[Serving.DecodedPositions]] = None) {
 
-  def loadedBytes: Long = cache.loadedBytes + retainedPositionBytes
+  def loadedBytes: Long =
+    cache.loadedBytes + retainedPositionBytes +
+      posCache.map(_.loadedBytes).getOrElse(0L)
   /** True when the decoded slice exceeded the budget and the node serves
     * through the bounded cache (partial pre-decode).
     */
@@ -180,30 +201,44 @@ final class ServingIndex private[query] (
         bySeg.computeIfAbsent(b.seg, _ => new java.util.ArrayList[PostingBlock]()).add(b)
       }
     }
+    def decoded(b: PostingBlock): Serving.DecodedPositions = posCache match {
+      case Some(c) => c.get(b) // hot-phrase fast path (budget headroom)
+      case None => Serving.decodePositionsOf(b)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
     bySeg.forEach { (seg, blocks) =>
       val byTerm = blocks.toArray(new Array[PostingBlock](blocks.size())).groupBy(_.term)
       if (!distinctTerms.exists(t => !byTerm.contains(t))) {
-        val posByTerm = distinctTerms.map { t =>
-          val m = new java.util.HashMap[Long, Array[Int]]()
-          byTerm(t).foreach { b =>
-            val (docs, _) = TermPostings.decodeBlock(b)
-            val ps = TermPostings.decodePositions(b)
-            var i = 0
-            while (i < docs.length) { m.put(docs(i), ps(i)); i += 1 }
+        // per-block probe maps come straight from the cache — the per-query
+        // work is hash probes, never rebuilding a merged per-term map
+        // (blocks of a (term, seg) partition the docID range, so a doc
+        // lives in exactly the block whose [firstDoc, lastDoc] covers it)
+        val termBlocks: Map[String, Array[(PostingBlock, Serving.DecodedPositions)]] =
+          byTerm.map { case (t, bs) =>
+            t -> bs.sortBy(_.firstDoc).map(b => (b, decoded(b)))
           }
-          t -> m
-        }.toMap
+        def lookup(t: String, doc: Long): Array[Int] = {
+          val arr = termBlocks(t)
+          var i = 0
+          while (i < arr.length) {
+            val (b, m) = arr(i)
+            if (doc >= b.firstDoc && doc <= b.lastDoc) return m.get(doc)
+            i += 1
+          }
+          null
+        }
         val (nDocs, nLens) = normsBySeg.get(seg)
-        val rarest = distinctTerms.minBy(t => posByTerm(t).size)
-        posByTerm(rarest).forEach { (doc, _) =>
-          if (distinctTerms.forall(t => posByTerm(t).containsKey(doc))) {
-            val slotPs = slots.map(t => posByTerm(t).get(doc))
-            val c = Phrase.countOccurrences(slotPs)
-            if (c > 0) {
-              val i = java.util.Arrays.binarySearch(nDocs, doc)
-              require(i >= 0, s"docId $doc missing from norms of seg $seg")
-              out += ((doc, c, nLens(i).toLong))
+        val rarest = distinctTerms.minBy(t => termBlocks(t).iterator.map(_._2.size).sum)
+        termBlocks(rarest).foreach { case (_, rm) =>
+          rm.forEach { (doc, _) =>
+            if (distinctTerms.forall(t => lookup(t, doc) != null)) {
+              val slotPs = slots.map(t => lookup(t, doc))
+              val c = Phrase.countOccurrences(slotPs)
+              if (c > 0) {
+                val i = java.util.Arrays.binarySearch(nDocs, doc)
+                require(i >= 0, s"docId $doc missing from norms of seg $seg")
+                out += ((doc, c, nLens(i).toLong))
+              }
             }
           }
         }
@@ -283,6 +318,29 @@ object Serving {
   private[query] def positionBytes(b: PostingBlock): Long =
     if (b.positions == null) 0L else b.positions.length.toLong + 16
 
+  /** A positional block's decoded, probe-ready form: docId → ascending
+    * token-index array. Stored as the ready HashMap because building the
+    * probe structure — not the VByte decode — dominates per-query phrase
+    * cost.
+    */
+  private[query] type DecodedPositions = java.util.HashMap[Long, Array[Int]]
+
+  private[query] def decodePositionsOf(b: PostingBlock): DecodedPositions = {
+    val docs = TermPostings.decodeBlock(b)._1
+    val ps = TermPostings.decodePositions(b)
+    val m = new java.util.HashMap[Long, Array[Int]](docs.length * 2)
+    var i = 0
+    while (i < docs.length) { m.put(docs(i), ps(i)); i += 1 }
+    m
+  }
+
+  private[query] def decodedPositionBytes(dp: DecodedPositions): Long = {
+    var s = 64L
+    val it = dp.values().iterator()
+    while (it.hasNext) s += it.next().length.toLong * 4 + 56 // entry + key + arr
+    s
+  }
+
   /** Load a committed index into serving memory. One Spark collect per
     * table. The budget governs the DECODED postings footprint (estimated
     * from posting counts, which every manifest — compacted or not —
@@ -320,10 +378,20 @@ object Serving {
     // ever arrives, so the decoded-block budget shrinks by that amount
     // (floored so a positions-heavy slice still gets a working cache)
     val posBytes = blocks.iterator.map(positionBytes).sum
+    val fits = estDecoded + posBytes <= maxBytes
     val cache: BlockCache =
-      if (estDecoded + posBytes <= maxBytes) new FullDecodeCache(blocks)
+      if (fits) new FullDecodeCache(blocks)
       else new ClockDecodeCache(math.max(maxBytes - posBytes, maxBytes / 16))
-    new ServingIndex(byTerm, cache, norms, df, stats, posBytes)
+    // hot-phrase decoded-positions cache: only the headroom the budget
+    // leaves after pre-decoded postings + retained compressed positions —
+    // a tight budget means phrase queries decode per query as before
+    val headroom = maxBytes - estDecoded - posBytes
+    val posCache =
+      if (posBytes > 0 && fits && headroom > 0)
+        Some(new ClockCache[Serving.DecodedPositions](
+          headroom, decodePositionsOf, (_, v) => decodedPositionBytes(v)))
+      else None
+    new ServingIndex(byTerm, cache, norms, df, stats, posBytes, posCache)
   }
 
   private def collectNorms(idx: OpenIndex): java.util.HashMap[Integer, (Array[Long], Array[Int])] = {
