@@ -80,22 +80,21 @@ object IndexBuilder {
     val t0 = System.nanoTime()
     if (fresh) store.dropAll()
     val done = store.committedSlices.map(_.sliceId).toSet
+    // the build recipe rides the store's settings so `append` can derive
+    // it (segment geometry and codec must match across slices)
+    store.setSettings(Map(
+      "build.segSize" -> cfg.segSize.toString,
+      "build.blockSize" -> cfg.blockSize.toString,
+      "build.codec" -> cfg.codec,
+      "build.positions" -> cfg.positions.toString))
 
-    // Pass 1: doc metadata (docId, doclen). token_count is a codegen
-    // Expression — no array materialization for the doclen pass.
-    val base = docs
-      .select(
-        col("doc_id").cast("long").as("doc_id"),
-        col("url").cast("string").as("url"),
-        col("text"),
-        col("lang").cast("string").as("lang"))
-    // one stats pass: docID bounds + count + global avgdl (token_count is
-    // the counting kernel — no token arrays materialize)
+    val base = normalize(docs)
+    // one stats pass: docID bounds + count (token_count no longer needed
+    // here — impact metadata is stats-independent, so the build never
+    // bakes in avgdl)
     val bounds = phase("stats")(base.agg(
-      min("doc_id"), max("doc_id"), count("*"),
-      avg(ga.token_count(col("text")))).head())
+      min("doc_id"), max("doc_id"), count("*")).head())
     val (minId, maxId, nDocs) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    val avgdl = bounds.getDouble(3)
 
     val segSize = cfg.segSize.toLong
     val segLoAll = (minId / segSize).toInt
@@ -117,7 +116,7 @@ object IndexBuilder {
         val hi = (segHi + 1) * segSize // exclusive
         // docID-range predicate pushes down into the source scan
         val slice = base.filter(col("doc_id") >= lo && col("doc_id") < hi)
-        val m = buildSlice(spark, slice, store, cfg, sliceId, segLo, segHi, avgdl)
+        val m = buildSlice(spark, slice, store, cfg, sliceId, segLo, segHi)
         store.commitSlice(m)
         totalPostings += m.postings
         built += 1
@@ -129,6 +128,68 @@ object IndexBuilder {
     BuildReport(built, skipped, nDocs, totalPostings, (System.nanoTime() - t0) / 1000000)
   }
 
+  /** Pass 1 projection: doc metadata columns (token_count is a codegen
+    * Expression — no array materialization for the doclen pass).
+    */
+  private def normalize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("url").cast("string").as("url"),
+      col("text"),
+      col("lang").cast("string").as("lang"))
+
+  /** Append NEW documents to a committed index as one fresh slice — the
+    * live-index form of the reference's recurring bulkupdate runs (an
+    * index at 10^12 docs is never rebuilt for a crawl increment). The
+    * build recipe (segment geometry, codec, positions) is read back from
+    * the store's settings, and the new docIDs must begin in a segment
+    * BEYOND every committed slice's range: segments are the unit of
+    * document sharding and live in exactly one slice (norms and blocks
+    * assume it). Soundness under drifting corpus stats comes from the
+    * impact metadata — (maxTf, minDl) per block bounds scores under
+    * whatever avgdl the query computes, so earlier slices never need
+    * rewriting. Term df/cf partials merge additively on read; query-time
+    * stats recompute from the docs table.
+    */
+  def append(spark: SparkSession, newDocs: DataFrame, store: IndexStore): SliceMeta = {
+    val s = store.settings
+    require(store.exists && s.contains("build.segSize"),
+      s"append requires an index built by IndexBuilder.build at ${store.root}")
+    val cfg = Config(
+      segSize = s("build.segSize").toInt,
+      blockSize = s("build.blockSize").toInt,
+      codec = s("build.codec"),
+      positions = s("build.positions").toBoolean)
+    val committed = store.committedSlices
+    require(committed.nonEmpty, s"nothing committed at ${store.root}")
+    val segSize = cfg.segSize.toLong
+
+    val base = normalize(newDocs)
+    val bounds = phase("append-stats")(base.agg(
+      min("doc_id"), max("doc_id"), count("*")).head())
+    require(bounds.getLong(2) > 0, "append of an empty batch")
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val segLo = (minId / segSize).toInt
+    val segHi = (maxId / segSize).toInt
+    val maxCommitted = committed.map(_.segHi).max
+    require(segLo > maxCommitted,
+      s"appended docIDs must start in a fresh segment: min docID $minId lands in seg " +
+        s"$segLo but the committed index ends at seg $maxCommitted — first appendable " +
+        s"docID is ${nextAppendDocId(store)}")
+    val sliceId = committed.map(_.sliceId).max + 1
+    val m = buildSlice(spark, base, store, cfg, sliceId, segLo, segHi)
+    store.commitSlice(m)
+    m
+  }
+
+  /** First docID a live append may use (the next fresh segment boundary) —
+    * what a deterministic docID allocator should hand the next increment.
+    */
+  def nextAppendDocId(store: IndexStore): Long = {
+    val segSize = store.settings("build.segSize").toLong
+    (store.committedSlices.map(_.segHi).max + 1L) * segSize
+  }
+
   private def buildSlice(
       spark: SparkSession,
       slice: DataFrame,
@@ -136,8 +197,7 @@ object IndexBuilder {
       cfg: Config,
       sliceId: Int,
       segLo: Int,
-      segHi: Int,
-      avgdl: Double): SliceMeta = {
+      segHi: Int): SliceMeta = {
     import spark.implicits._
     val segSize = cfg.segSize.toLong
     val blockSize = cfg.blockSize
@@ -206,12 +266,16 @@ object IndexBuilder {
           private var done = false
 
           private def emit(): PostingBlock = {
-            var maxNorm = 0.0
+            // impact metadata: (maxTf, minDl) instead of a baked-in
+            // tfNorm, so block-max bounds stay sound under the stats the
+            // QUERY sees — required for live appends shifting avgdl
+            var maxTf = 0L
+            var minDl = Int.MaxValue
             var tfSum = 0L
             var i = 0
             while (i < n) {
-              val norm = BM25.tfNorm(fs(i), dls(i).toLong, avgdl)
-              if (norm > maxNorm) maxNorm = norm
+              if (fs(i) > maxTf) maxTf = fs(i)
+              if (dls(i) < minDl) minDl = dls(i)
               tfSum += fs(i)
               i += 1
             }
@@ -237,7 +301,7 @@ object IndexBuilder {
                 VByte.encode(gaps)
               }
             val b = PostingBlock(curTerm, curSeg, blk, n, docsArr(0), docsArr(n - 1),
-              maxNorm, tfSum, codec,
+              maxTf, minDl, tfSum, codec,
               Codecs.encode(codec, VByte.deltasFrom(docsArr(0), docsArr)),
               Codecs.encode(codec, java.util.Arrays.copyOf(fs, n)),
               posBytes)

@@ -21,7 +21,13 @@ case class PostingBlock(
     n: Int,
     firstDoc: Long,
     lastDoc: Long,
-    maxTfNorm: Double,     // max over block of BM25 tfNorm (exact doclen)
+    maxTf: Long,           // impact metadata: max tf in block …
+    minDl: Int,            // … and min doclen. tfNorm is increasing in tf
+                           // and decreasing in dl, so tfNorm(maxTf, minDl,
+                           // avgdl_now) bounds every member under the
+                           // CURRENT corpus stats — unlike a baked-in
+                           // maxTfNorm, the bound stays sound when appends
+                           // shift avgdl (Lucene impact style)
     tfSum: Long,           // Σ tf in this block (cf derives without decode)
     codec: Byte,           // Codecs.VB (VByte) or Codecs.PFOR (PForDelta)
     docDeltas: Array[Byte],// encoded gaps; first gap is from firstDoc (== 0)
@@ -57,15 +63,28 @@ private[graft] final class TermPostings(
     val term: String,
     val idf: Double,
     blocksIn: Array[PostingBlock],
+    avgdl: Double,
     decode: PostingBlock => (Array[Long], Array[Long]) = TermPostings.decodeBlock) {
 
   val blocks: Array[PostingBlock] = blocksIn.sortBy(_.blk)
-  /** Global upper bound for this term: idf * max block tfNorm. */
+  /** Per-block score bound from the impact metadata, computed against the
+    * CURRENT avgdl (once per cursor, off the hot loop).
+    */
+  private val blockBounds: Array[Double] = {
+    val out = new Array[Double](blocks.length)
+    var i = 0
+    while (i < blocks.length) {
+      out(i) = idf * BM25.tfNorm(blocks(i).maxTf, blocks(i).minDl.toLong, avgdl)
+      i += 1
+    }
+    out
+  }
+  /** Global upper bound for this term: max block bound. */
   val maxScore: Double = {
     var m = 0.0
     var i = 0
-    while (i < blocks.length) { if (blocks(i).maxTfNorm > m) m = blocks(i).maxTfNorm; i += 1 }
-    idf * m
+    while (i < blockBounds.length) { if (blockBounds(i) > m) m = blockBounds(i); i += 1 }
+    m
   }
 
   private var blockIdx = 0
@@ -88,7 +107,7 @@ private[graft] final class TermPostings(
   def docId: Long = docs(pos)
   def tf: Long = tfsArr(pos)
   /** Upper bound of the current block (block-max). */
-  def blockMaxScore: Double = idf * blocks(blockIdx).maxTfNorm
+  def blockMaxScore: Double = blockBounds(blockIdx)
   /** Last docID of the current block (skip boundary). */
   def blockLastDoc: Long = blocks(blockIdx).lastDoc
 

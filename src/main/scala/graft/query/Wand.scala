@@ -123,7 +123,7 @@ object Wand {
       .groupBy(_.term)
       .toArray
       .sortBy(_._1)
-      .map { case (term, bs) => new TermPostings(term, idfs(term), bs, decode) }
+      .map { case (term, bs) => new TermPostings(term, idfs(term), bs, avgdl, decode) }
 
     val heap = new TopKHeap(k)
     val active = scala.collection.mutable.ArrayBuffer.empty[TermPostings]

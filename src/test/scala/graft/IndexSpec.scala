@@ -71,15 +71,20 @@ class IndexSpec extends AnyFunSuite {
       assert(ds.toSeq == ds.sorted.toSeq)
       assert(ds.head == b.firstDoc && ds.last == b.lastDoc)
       assert(ds.forall(d => (d / 128).toInt == b.seg))
-      // block-max: recompute tfNorm of each entry with exact doclen
+      // impact metadata: (maxTf, minDl) exactly match the block's entries,
+      // and the derived bound dominates every member's exact tfNorm under
+      // the current corpus stats
       val nm = normsBySeg(b.seg)
       val nd = VByte.undeltas(nm.firstDoc, VByte.decode(nm.docDeltas, nm.n))
       val fs = Codecs.decode(b.codec, b.tfs, b.n)
-      val maxNorm = ds.zip(fs).map { case (d, f) =>
-        val dl = VByte.unpackIntAt(nm.doclens, java.util.Arrays.binarySearch(nd, d))
-        BM25.tfNorm(f, dl.toLong, avgdl)
-      }.max
-      assert(math.abs(maxNorm - b.maxTfNorm) < 1e-15, s"term=${b.term} seg=${b.seg} blk=${b.blk}")
+      val dlsOf = ds.map(d => VByte.unpackIntAt(nm.doclens, java.util.Arrays.binarySearch(nd, d)))
+      assert(fs.max == b.maxTf, s"term=${b.term} seg=${b.seg} blk=${b.blk}")
+      assert(dlsOf.min == b.minDl, s"term=${b.term} seg=${b.seg} blk=${b.blk}")
+      val bound = BM25.tfNorm(b.maxTf, b.minDl.toLong, avgdl)
+      ds.indices.foreach { i =>
+        assert(BM25.tfNorm(fs(i), dlsOf(i).toLong, avgdl) <= bound + 1e-12,
+          s"bound violated: term=${b.term} seg=${b.seg} blk=${b.blk}")
+      }
     }
   }
 
@@ -136,5 +141,60 @@ class IndexSpec extends AnyFunSuite {
       .groupBy("term").count()
     val physical = tf.queryExecution.executedPlan.toString
     assert(!physical.contains("html"), "binary html column must be pruned from the scan")
+  }
+
+  test("live append: fresh-segment slice, rank-identical to the oracle over the union") {
+    import graft.query.{OracleScorer, Wand}
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16, slices = 2,
+      positions = true)
+    val all = Corpus.pages(spark, 900)
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "url", "text", "lang")
+      .cache()
+    val initial = all.filter(col("doc_id") < 600) // segs 0..4
+    val store = freshStore()
+    IndexBuilder.build(spark, initial, store, cfg)
+
+    // the allocator hands back the next fresh segment boundary
+    val nextId = IndexBuilder.nextAppendDocId(store)
+    assert(nextId == 640L) // segHi 4 (docs ..599) -> seg 5 * 128
+
+    // a batch straddling committed segments must be refused BEFORE writing
+    val before = store.committedSlices.map(_.sliceId).toSet
+    intercept[IllegalArgumentException] {
+      IndexBuilder.append(spark, all.filter(col("doc_id") === 599 + 1), store)
+    } // doc 600 lands in committed seg 4
+    assert(store.committedSlices.map(_.sliceId).toSet == before)
+
+    val increment = all.filter(col("doc_id") >= nextId) // segs 5..7
+    val m = IndexBuilder.append(spark, increment, store)
+    assert(m.segLo == 5 && m.docs == 900 - 640)
+
+    // the appended index answers rank-identically to the brute-force
+    // oracle over the UNION corpus — the impact bounds stay sound even
+    // though the appended docs shifted avgdl after the first build
+    val union = initial.union(increment)
+    val idx = store.open(spark)
+    assert(idx.stats.nDocs == 900 - (640 - 600))
+    for (q <- Seq("the web crawl", "docmark42", "docmark777", "the of and a"); k <- Seq(10, 100)) {
+      val wand = Wand.topK(spark, idx, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oracle = OracleScorer.topK(spark, union, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wand == oracle, s"append broke rank identity for '$q' k=$k")
+    }
+    // unique marker of an APPENDED doc resolves through the index
+    val hit = Wand.topK(spark, idx, "docmark777", 5).collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 777L)
+    // the positional payload was appended too: phrase paths serve the
+    // appended docs bit-identically across layouts
+    val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
+    val distPhrase = graft.query.Phrase.topK(spark, idx, "the web", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(distPhrase.nonEmpty)
+    assert(serving.phraseTopK("the web", 10).toSeq == distPhrase)
+    // further appends chain: allocator moves past the new slice
+    assert(IndexBuilder.nextAppendDocId(store) == 8L * 128)
+    all.unpersist()
   }
 }

@@ -13,7 +13,7 @@ class CacheSpec extends AnyFunSuite {
   private def block(i: Int, n: Int = 8): PostingBlock = {
     val docs = Array.tabulate(n)(j => (i * 1000 + j * 2).toLong)
     val deltas = VByte.deltasFrom(docs(0), docs)
-    PostingBlock(s"t$i", 0, i, n, docs(0), docs(n - 1), 1.0, n.toLong,
+    PostingBlock(s"t$i", 0, i, n, docs(0), docs(n - 1), 1L, 10, n.toLong,
       Codecs.VB, VByte.encode(deltas), VByte.encode(Array.fill(n)(1L)))
   }
 
