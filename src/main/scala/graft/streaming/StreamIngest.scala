@@ -7,15 +7,20 @@ import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface.
   *
-  * The reference is strictly batch (SURVEY.md §2.9: full/delta load only),
-  * and the inverted-index build stays batch+resumable by design — exact
-  * BM25 block-max metadata depends on corpus-global avgdl, so postings are
-  * built from committed document slices, not open-ended streams. What
-  * streaming covers here is the front of the pipeline:
+  * The reference is strictly batch (SURVEY.md §2.9: full/delta load only);
+  * here streaming covers the front of the pipeline AND, since round 4,
+  * the index itself:
   *
   *  - `docStream`: micro-batch document staging — coercion + append to the
   *    staging table + per-batch ledger, via foreachBatch. Sliced index
   *    builds then consume the staging table (resume skips built slices).
+  *  - `indexStream`: CONTINUOUS INDEXING — each micro-batch lands in the
+  *    committed index as a fresh-segment slice via `IndexBuilder.append`.
+  *    Possible precisely because block-max metadata is the
+  *    stats-independent impact pair (maxTf, minDl): bounds stay sound as
+  *    every appended batch shifts corpus avgdl, so earlier slices are
+  *    never rewritten. (Rounds 1–3 documented stream indexing as
+  *    impossible — that premise died with the baked-in-avgdl metadata.)
   *  - `eventCounts`: watermarked windowed aggregation over an event
   *    stream (the standard readStream → window → agg shape).
   */
@@ -46,6 +51,45 @@ object StreamIngest {
           coerced.write.mode("append").parquet(stagingPath)
           Seq((batchId, n)).toDF("batch_id", "rows")
             .write.mode("append").parquet(ledgerPath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Continuous indexing: stream documents (url, text, lang) straight into
+    * a committed index — per micro-batch, deterministic docIDs are
+    * assigned from the index's next fresh segment boundary
+    * (`DocIds.assign` dense ids + `nextAppendDocId` base) and the batch
+    * commits as one appended slice. Query sessions opened after any batch
+    * see a complete, consistent index (the manifest swap is atomic).
+    * Batches must be non-overlapping document sets (dedup upstream via
+    * `dedupStream`); docIDs are assigned per batch, so a document's id is
+    * stable for the life of the index but not across re-ingestion.
+    */
+  def indexStream(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      store: graft.index.IndexStore,
+      checkpoint: String,
+      bootstrapCfg: graft.index.IndexBuilder.Config =
+        graft.index.IndexBuilder.Config()): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val exists = store.exists
+          val base = if (exists) graft.index.IndexBuilder.nextAppendDocId(store) else 0L
+          val withIds = graft.DocIds.assign(batch, keyCol = "url")
+            .withColumn("doc_id", col("doc_id") + base)
+            .select("doc_id", "url", "text", "lang")
+          if (exists) graft.index.IndexBuilder.append(spark, withIds, store)
+          else graft.index.IndexBuilder.build(spark, withIds, store, bootstrapCfg)
         }
         ()
       }

@@ -36,6 +36,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/staging").count() == 3) // only the new row appended
   }
 
+  test("indexStream: continuous indexing — streamed waves append fresh-segment slices") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{OracleScorer, Wand}
+    val base = Files.createTempDirectory("graft-stream-idx-").toString
+    val src = s"$base/src"
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16, positions = true)
+
+    val wave1 = Corpus.pages(spark, 300)
+    wave1.write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val q1 = StreamIngest.indexStream(spark, src, schema, store, s"$base/ckpt", cfg)
+    q1.processAllAvailable(); q1.stop()
+    assert(store.open(spark).stats.nDocs == 300)
+
+    // second wave arrives; the restarted query drains only the new files
+    // and commits them as an appended slice — earlier slices untouched
+    val slicesAfter1 = store.committedSlices.map(_.sliceId).toSet
+    val wave2 = Corpus.pages(spark, 600)
+      .filter(regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long") >= 300)
+    wave2.write.mode("append").parquet(src)
+    val q2 = StreamIngest.indexStream(spark, src, schema, store, s"$base/ckpt", cfg)
+    q2.processAllAvailable(); q2.stop()
+    val idx = store.open(spark)
+    assert(idx.stats.nDocs == 600)
+    assert(slicesAfter1.subsetOf(store.committedSlices.map(_.sliceId).toSet))
+    assert(store.committedSlices.size > slicesAfter1.size)
+
+    // rank identity vs the oracle over the union with the SAME ids the
+    // stream assigned (DocIds.assign is deterministic per batch + base)
+    val expected1 = DocIds.assign(wave1.toDF(), "url")
+    val expected2 = DocIds.assign(wave2.toDF(), "url")
+      .withColumn("doc_id", col("doc_id") + 384) // segHi 2 (299 < 3*128) -> seg 3 * 128
+    val union = expected1.select("doc_id", "url", "text", "lang")
+      .union(expected2.select("doc_id", "url", "text", "lang"))
+    for (q <- Seq("the web crawl", "docmark42 posting", "the of and"); k <- Seq(10, 50)) {
+      val wand = Wand.topK(spark, idx, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oracle = OracleScorer.topK(spark, union, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(wand == oracle, s"streamed index diverged for '$q' k=$k")
+    }
+    // a document from each wave resolves by its unique marker through to
+    // its stored url (hit materialization over the streamed index)
+    for (marker <- Seq(123, 456)) {
+      val hits = graft.query.Search.relevance(spark, idx, s"docmark$marker", 5).collect()
+      assert(hits.length == 1 && hits(0).getAs[String]("url").endsWith(s"/p/$marker"))
+    }
+  }
+
   test("dedupStream: stateful first-seen-wins dedup across micro-batches") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-dd-").toString
