@@ -186,8 +186,10 @@ object IndexBuilder {
     * what a deterministic docID allocator should hand the next increment.
     */
   def nextAppendDocId(store: IndexStore): Long = {
-    val segSize = store.settings("build.segSize").toLong
-    (store.committedSlices.map(_.segHi).max + 1L) * segSize
+    val s = store.settings
+    require(s.contains("build.segSize") && store.committedSlices.nonEmpty,
+      s"no appendable index at ${store.root} — build with IndexBuilder.build first")
+    (store.committedSlices.map(_.segHi).max + 1L) * s("build.segSize").toLong
   }
 
   private def buildSlice(
