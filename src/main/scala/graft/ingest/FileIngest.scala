@@ -163,10 +163,15 @@ object FileIngest {
   /** Target row count for verification; a target that was never created
     * (every file failed before its first write) counts as 0 rather than a
     * read error — verification then fails exactly when rows were lost.
+    * Missing-path detection goes through the read itself (any Hadoop
+    * filesystem), not a local-FS existence check.
     */
   private def targetCount(spark: SparkSession, targetPath: String): Long =
-    if (!new java.io.File(targetPath).exists) 0L
-    else spark.read.parquet(targetPath).count()
+    try spark.read.parquet(targetPath).count()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) => 0L
+    }
 
   /** input_file_name() returns a URI ("file:///tmp/a.csv"); the ledger and
     * reports key on the caller's plain path — normalize to compare.
@@ -224,7 +229,12 @@ object FileIngest {
     skipped.foreach(f => reports(f) = FileReport(f, 0L, 0L, "skipped"))
     var processed = 0L
     var failed = 0L
-    val ledgered = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // ledger rows land as each unit (file / group) COMPLETES — a crash
+    // mid-run then re-does at most the in-flight unit under resume, the
+    // same exposure as the serial loop's per-file ledger appends
+    def ledgerWrite(fs: Seq[String]): Unit =
+      if (fs.nonEmpty) fs.toDF("file").write.mode("append").parquet(ledgerPath)
 
     // serial fallback shares the single-file path verbatim
     def serialOne(f: String): Unit =
@@ -241,7 +251,7 @@ object FileIngest {
         val bad = failedRecs.count()
         if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
         cacheHandle.foreach(_.unpersist(blocking = false))
-        ledgered += f
+        ledgerWrite(Seq(f))
         processed += n
         failed += bad
         reports(f) = FileReport(f, n + bad, bad, if (bad == 0) "success" else "partial")
@@ -249,13 +259,15 @@ object FileIngest {
         case e: Exception => reports(f) = FileReport(f, 0L, 0L, s"failed: ${e.getMessage}")
       }
 
-    def processGroup(paths: Seq[String], parse: () => DataFrame): Unit = {
-      try {
-        val raw = parse()
-        val hasCorrupt = raw.columns.contains(Corrupt)
-        val withFile = raw.withColumn("__file", normFileCol)
-        val cached = withFile.persist()
+    def processGroup(paths: Seq[String], kind: String, parse: () => DataFrame): Unit = {
+      // phase A — read-only (parse, cache, per-file counts). A failure
+      // here has written NOTHING, so falling back to the serial per-file
+      // path cannot duplicate data.
+      val prepared =
         try {
+          val raw = parse()
+          val hasCorrupt = raw.columns.contains(Corrupt)
+          val cached = raw.withColumn("__file", normFileCol).persist()
           val badCol =
             if (hasCorrupt) sum(when(col(Corrupt).isNotNull, 1L).otherwise(0L))
             else sum(lit(0L))
@@ -264,46 +276,66 @@ object FileIngest {
             .collect()
             .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
             .toMap
-          if (hasCorrupt) {
-            val failedRecs = cached.filter(col(Corrupt).isNotNull).select(
-              col("__file").as("sourceFile"),
-              col(Corrupt).cast(StringType).as("docJson"),
-              lit("parse_error").as("errorType"),
-              lit("malformed row").as("errorReason"))
-            if (perFile.valuesIterator.map(_._2).sum > 0)
+          Some((cached, hasCorrupt, perFile))
+        } catch { case _: Exception => None }
+
+      prepared match {
+        case None => paths.foreach(serialOne) // group poisoned: per-file
+        case Some((cached, hasCorrupt, perFile)) =>
+          // phase B — writes. A failure past this point must NOT retry
+          // (rows may already be appended): the group's files report
+          // failed and stay un-ledgered — the serial loop's own
+          // post-write exposure, never a double-ingest.
+          try {
+            // DLQ rows carry the CALLER's spelling of each path (the
+            // ledger/report key), not the scan's normalized URI
+            val byNorm = paths
+              .map(p => fileUriToPath(new java.io.File(p).toURI.toString) -> p).toMap
+            if (hasCorrupt && perFile.valuesIterator.map(_._2).sum > 0) {
+              val spell = typedlit(byNorm)
+              val failedRecs = cached.filter(col(Corrupt).isNotNull).select(
+                coalesce(element_at(spell, col("__file")), col("__file")).as("sourceFile"),
+                col(Corrupt).cast(StringType).as("docJson"),
+                lit("parse_error").as("errorType"),
+                lit(s"malformed $kind row").as("errorReason"))
               Dlq.writeRecords(failedRecs, dlqPath)
-          }
-          val good =
-            (if (hasCorrupt) cached.filter(col(Corrupt).isNull).drop(Corrupt) else cached)
-          val coerced = Coerce.withMapping(good,
-            Map("__file" -> Coerce.KeywordField)) // keep the key untouched
-          val deduped =
-            if (coerced.columns.contains("id")) {
-              // per-file LWW exactly as the serial loop: the window
-              // partitions by (file, id), so cross-file duplicates append
-              import org.apache.spark.sql.expressions.Window
-              val w = Window.partitionBy(col("__file"), col("id"))
-                .orderBy(col("__ord").desc)
-              withRowOrder(coerced, "__ord")
-                .withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1).drop("__rn", "__ord")
-            } else coerced
-          deduped.drop("__file").write.mode("append").parquet(targetPath)
-          val writtenPerFile = deduped.groupBy("__file").agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          // report under the caller's spelling of each path
-          paths.foreach { p =>
-            val norm = fileUriToPath(new java.io.File(p).toURI.toString)
-            val (_, bad) = perFile.getOrElse(norm, (0L, 0L))
-            val n = writtenPerFile.getOrElse(norm, 0L)
-            ledgered += p
-            processed += n
-            failed += bad
-            reports(p) = FileReport(p, n + bad, bad, if (bad == 0) "success" else "partial")
-          }
-        } finally cached.unpersist(blocking = false)
-      } catch {
-        case _: Exception => paths.foreach(serialOne) // group poisoned: per-file
+            }
+            val good =
+              (if (hasCorrupt) cached.filter(col(Corrupt).isNull).drop(Corrupt) else cached)
+            val coerced = Coerce.withMapping(good,
+              Map("__file" -> Coerce.KeywordField)) // keep the key untouched
+            val deduped =
+              if (coerced.columns.contains("id")) {
+                // per-file LWW exactly as the serial loop: the window
+                // partitions by (file, id), so cross-file duplicates append
+                import org.apache.spark.sql.expressions.Window
+                val w = Window.partitionBy(col("__file"), col("id"))
+                  .orderBy(col("__ord").desc)
+                withRowOrder(coerced, "__ord")
+                  .withColumn("__rn", row_number().over(w))
+                  .filter(col("__rn") === 1).drop("__rn", "__ord")
+              } else coerced
+            // persisted: the target write and the per-file accounting both
+            // consume it — without this the window dedup runs twice
+            val dedupedP = deduped.persist()
+            try {
+              dedupedP.drop("__file").write.mode("append").parquet(targetPath)
+              val writtenPerFile = dedupedP.groupBy("__file").agg(count(lit(1)).as("n"))
+                .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+              paths.foreach { p =>
+                val norm = fileUriToPath(new java.io.File(p).toURI.toString)
+                val (_, bad) = perFile.getOrElse(norm, (0L, 0L))
+                val n = writtenPerFile.getOrElse(norm, 0L)
+                processed += n
+                failed += bad
+                reports(p) = FileReport(p, n + bad, bad, if (bad == 0) "success" else "partial")
+              }
+              ledgerWrite(paths)
+            } finally dedupedP.unpersist(blocking = false)
+          } catch {
+            case e: Exception =>
+              paths.foreach(p => reports(p) = FileReport(p, 0L, 0L, s"failed: ${e.getMessage}"))
+          } finally cached.unpersist(blocking = false)
       }
     }
 
@@ -317,7 +349,7 @@ object FileIngest {
     headless.map(_._1).foreach(serialOne)
     headed.groupBy(_._2.get).foreach { case (_, grp) =>
       val paths = grp.map(_._1)
-      processGroup(paths, () => {
+      processGroup(paths, "csv", () => {
         val inferred = spark.read.option("header", "true").option("inferSchema", "true")
           .csv(paths: _*).schema
         spark.read.option("header", "true")
@@ -327,13 +359,10 @@ object FileIngest {
       })
     }
 
-    if (jsons.nonEmpty) processGroup(jsons, () =>
+    if (jsons.nonEmpty) processGroup(jsons, "json", () =>
       spark.read.option("multiLine", "true")
         .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", Corrupt)
         .json(jsons: _*))
-
-    if (ledgered.nonEmpty)
-      ledgered.toSeq.toDF("file").write.mode("append").parquet(ledgerPath)
 
     // emit reports in the caller's file order
     val ordered = files.map(f => reports.getOrElse(f, FileReport(f, 0L, 0L, "skipped")))

@@ -407,7 +407,9 @@ object Dedup {
               org.apache.spark.sql.types.LongType, nullable = false),
             org.apache.spark.sql.types.StructField("dropped_entries",
               org.apache.spark.sql.types.LongType, nullable = false))))
-        val maxBroadcastHot = 1L << 22
+        // row cap proxies a byte budget: ~1M shingle strings ≈ tens of MB
+        // broadcast — past that the semi-join path is the safer shape
+        val maxBroadcastHot = 1L << 20
         val guarded =
           if (dropRow.getLong(0) <= maxBroadcastHot)
             docShingles.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")

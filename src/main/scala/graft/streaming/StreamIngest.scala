@@ -65,7 +65,10 @@ object StreamIngest {
     * see a complete, consistent index (the manifest swap is atomic).
     * Batches must be non-overlapping document sets (dedup upstream via
     * `dedupStream`); docIDs are assigned per batch, so a document's id is
-    * stable for the life of the index but not across re-ingestion.
+    * stable for the life of the index but not across re-ingestion. A
+    * store is paired with ONE stream checkpoint for its lifetime — the
+    * replay guard records the checkpoint's batchIds in the store
+    * settings.
     */
   def indexStream(
       spark: SparkSession,
@@ -81,8 +84,16 @@ object StreamIngest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a crash between the sink's commit
+        // and the checkpoint's offset commit replays the batch. The last
+        // indexed batchId rides the store settings (atomic rename), so a
+        // replayed batch is skipped instead of re-appended under fresh
+        // docIDs. (Remaining window: a crash exactly between the slice
+        // commit and the settings rename re-appends one batch — closing
+        // it fully needs the batchId inside the manifest commit itself.)
+        val lastDone = store.settings.get("stream.lastBatchId").map(_.toLong).getOrElse(-1L)
+        if (batchId > lastDone && !batch.isEmpty) {
           val exists = store.exists
           val base = if (exists) graft.index.IndexBuilder.nextAppendDocId(store) else 0L
           val withIds = graft.DocIds.assign(batch, keyCol = "url")
@@ -90,6 +101,7 @@ object StreamIngest {
             .select("doc_id", "url", "text", "lang")
           if (exists) graft.index.IndexBuilder.append(spark, withIds, store)
           else graft.index.IndexBuilder.build(spark, withIds, store, bootstrapCfg)
+          store.setSettings(Map("stream.lastBatchId" -> batchId.toString))
         }
         ()
       }

@@ -334,9 +334,10 @@ class IngestSpec extends AnyFunSuite {
     assert(ledger(s"$base/l_batch") == ledger(s"$base/l_serial"))
 
     // DLQ parity: the same failed documents, attributed to the same files
+    // under the caller's spelling, with the same kind-specific reason
     def dlq(p: String) = spark.read.parquet(p)
-      .select("sourceFile", "docJson").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+      .select("sourceFile", "docJson", "errorReason").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(dlq(s"$base/d_batch") == dlq(s"$base/d_serial"))
 
     // resume parity: a second batched run skips everything
