@@ -113,11 +113,16 @@ class PhraseSpec extends AnyFunSuite {
     val idx = store.open(spark)
     val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
     val cluster = graft.query.Serving.openSharded(idx, nShards = 3, maxBytesPerShard = 2L << 30)
+    // tight budget: bounded decode cache, NO decoded-positions cache —
+    // phrase queries decode per query and must stay bit-identical
+    val tight = graft.query.Serving.open(idx, maxBytes = 1L)
+    assert(tight.bounded)
     for (phrase <- Seq("fox fox", "red blue", "blue green red", "zzz qqq")) {
       val dist = Phrase.topK(spark, idx, phrase, 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(serving.phraseTopK(phrase, 10).toSeq == dist, s"serving '$phrase'")
       assert(cluster.phraseTopK(phrase, 10).toSeq == dist, s"cluster '$phrase'")
+      assert(tight.phraseTopK(phrase, 10).toSeq == dist, s"tight-budget '$phrase'")
     }
     store.dropAll()
   }
