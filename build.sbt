@@ -29,3 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ≤31g keeps compressed oops; the 128GiB host leaves ample headroom
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )
+
+// Bench artifact parse: the driver reads the LAST stdout line as JSON.
+// Forked run output must reach stdout raw (no "[info] " logger prefix),
+// and sbt's "[success] Total time" trailer must not follow it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, Test / outputStrategy)

@@ -105,10 +105,12 @@ object Bench {
     }
     val results = named.map { case (n, _) => n -> qSeries(n).min }
 
-    // ---- phase 2: BM25 top-k latency over the built index. Two passes,
-    // ship the better pass's (p50, p95) — the host's one-sided degradation
-    // band can inflate a whole 20-sample pass, and min-of-passes is the
-    // same estimator phase 1 uses per query. ----
+    // ---- phase 2: BM25 top-k latency over the built index. Three passes,
+    // ship the MEDIAN pass's (p50, p95) — the headline is a steady-state
+    // estimate, not best-case (the retry rule must not select the shipped
+    // number); a whole pass inflated by the host's one-sided degradation
+    // band lands above the median and is discarded symmetrically with a
+    // lucky pass. All passes ship in the details line. ----
     val latQueries = Seq("spark index dup", "the data web", "dup", "the web crawl merge")
     Wand.topK(spark, idx, latQueries.head, 10).count() // warm
     def latPass(): (Double, Double) = {
@@ -117,8 +119,8 @@ object Bench {
       }).sorted
       (lats(lats.length / 2), lats(math.min((lats.length * 0.95).toInt, lats.length - 1)))
     }
-    val latPasses = Seq(latPass(), latPass())
-    val (p50, p95) = latPasses.minBy(_._1)
+    val latPasses = Seq(latPass(), latPass(), latPass())
+    val (p50, p95) = latPasses.sortBy(_._1)(Ordering[Double])(1)
 
     // ---- phase 2b: concurrent top-k throughput (the reference serves a
     // web search UI — queries arrive concurrently; Spark's scheduler
@@ -146,17 +148,22 @@ object Bench {
     val qpsRuns = scala.collection.mutable.ArrayBuffer(qpsRun())
     val seqQps = 1000.0 / p50
     while (qpsRuns.max < seqQps / 3.0 && qpsRuns.size < 4) qpsRuns += qpsRun()
-    val qps = qpsRuns.max
+    // median of the runs that cleared the stall bound (see phase 2c note)
+    val qps = {
+      val ok = qpsRuns.filter(_ >= seqQps / 3.0).sorted
+      if (ok.nonEmpty) ok(ok.size / 2) else qpsRuns.max
+    }
 
     // ---- phase 2c: single-node serving tier (same segTopK kernel loaded
     // in memory, no Spark job per query — how a shard server would run),
     // plus the document-sharded cluster (4 shards + router k-merge) and
     // the phrase path over the positional index. Corroborated like phase
-    // 2b: pre-decoded serving at 16 threads measuring BELOW the
-    // single-thread rate is physically absurd (no allocation, no shared
-    // state) — that's the host's memory-bandwidth degradation band, so
-    // the mt measurements re-run (max-of-runs) until they clear the
-    // single-thread rate or retries are exhausted; every run ships. ----
+    // 2b: a measurement below its physical-absurdity bound (serving mt16
+    // under the single-thread rate; cluster4 under half the single-node
+    // mt16 of the same run) is the host's memory-bandwidth degradation
+    // band, so the mt measurements re-run until one clears the bound or
+    // retries are exhausted; shipped = median of the cleared runs, and
+    // every run ships in the details line. ----
     val mtRunsLog = scala.collection.mutable.LinkedHashMap(
       "serving_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double],
       "cluster4_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double],
@@ -184,18 +191,33 @@ object Bench {
         }
         16.0 * nq / sec
       }
-      def corroboratedMt(tag: String, f: Int => Unit): Double = {
+      // Shipped number = MEDIAN of the runs that cleared the absurdity
+      // bound (not max-of-runs: the retry rule must not select the
+      // headline). Runs below the bound are host-stall artifacts — this
+      // VM's memory-bandwidth degradation band — and are excluded from
+      // the estimate but kept in the shipped series as evidence. If NO
+      // run clears the bound, ship the best we saw (still flagged by the
+      // series itself).
+      def shipOf(runs: Seq[Double], bound: Double): Double = {
+        val ok = runs.filter(_ >= bound).sorted
+        if (ok.nonEmpty) ok(ok.size / 2) else runs.max
+      }
+      def corroboratedMt(tag: String, bound: Double, f: Int => Unit): Double = {
         val runs = mtRunsLog(tag)
         runs += mt16(f)
-        while (runs.max < seqRate && runs.size < 3) runs += mt16(f)
-        runs.max
+        while (runs.max < bound && runs.size < 3) runs += mt16(f)
+        shipOf(runs.toSeq, bound)
       }
-      val qpsMt = corroboratedMt("serving_mt16",
+      // pre-decoded serving at 16 threads below the 1-thread rate is
+      // physically absurd (no allocation, no shared state)
+      val qpsMt = corroboratedMt("serving_mt16", seqRate,
         i => serving.topK(latQueries(i % latQueries.size), 10))
       val cluster = graft.query.Serving.openSharded(idx, nShards = 4,
         maxBytesPerShard = 2L << 30)
       cluster.topK(latQueries.head, 10) // warm
-      val clMt = corroboratedMt("cluster4_mt16",
+      // disjoint shards can't run slower than HALF the single-node rate
+      // of the same run — a cluster4 number below that is a stall, re-run
+      val clMt = corroboratedMt("cluster4_mt16", math.max(seqRate, qpsMt / 2),
         i => cluster.topK(latQueries(i % latQueries.size), 10))
       // phrase path: hot phrases serve from the decoded-positions cache
       val phrases = Seq("table hash", "merge group", "slow key")
@@ -219,7 +241,7 @@ object Bench {
         }
         runs += run()
         while (runs.max < phraseSeq && runs.size < 3) runs += run()
-        runs.max
+        shipOf(runs.toSeq, phraseSeq)
       }
       pool.shutdown()
       (seqRate, qpsMt, clMt, phraseSeq, phMt)

@@ -75,18 +75,32 @@ object IndexBuilder {
       store: IndexStore,
       cfg: Config = Config(),
       fresh: Boolean = true,
-      failAfterSlice: Int = Int.MaxValue): BuildReport = {
+      failAfterSlice: Int = Int.MaxValue,
+      manifestProps: Map[String, String] = Map.empty): BuildReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
     if (fresh) store.dropAll()
     val done = store.committedSlices.map(_.sliceId).toSet
+    // Resume guard: committed slices were encoded under the RECORDED
+    // recipe — resuming with a different one would silently write
+    // geometry that mismatches them (segment numbers in new units against
+    // segHi values in old units), so the supplied cfg must equal the
+    // stored recipe exactly.
+    if (done.nonEmpty && store.settings.contains("build.segSize")) {
+      val rec = recordedConfig(store)
+      require(cfg == rec,
+        s"resume with a different build config: supplied $cfg but the committed " +
+          s"slices at ${store.root} were built with $rec — pass the recorded config " +
+          "(or rebuild fresh)")
+    }
     // the build recipe rides the store's settings so `append` can derive
     // it (segment geometry and codec must match across slices)
     store.setSettings(Map(
       "build.segSize" -> cfg.segSize.toString,
       "build.blockSize" -> cfg.blockSize.toString,
       "build.codec" -> cfg.codec,
-      "build.positions" -> cfg.positions.toString))
+      "build.positions" -> cfg.positions.toString,
+      "build.slices" -> cfg.slices.toString))
 
     val base = normalize(docs)
     // one stats pass: docID bounds + count (token_count no longer needed
@@ -107,6 +121,7 @@ object IndexBuilder {
     var skipped = 0
     var totalPostings = 0L
     var sliceId = 0
+    var propsWritten = manifestProps.isEmpty
     while (sliceId < nSlices) {
       if (done.contains(sliceId)) { skipped += 1 }
       else {
@@ -117,7 +132,13 @@ object IndexBuilder {
         // docID-range predicate pushes down into the source scan
         val slice = base.filter(col("doc_id") >= lo && col("doc_id") < hi)
         val m = buildSlice(spark, slice, store, cfg, sliceId, segLo, segHi)
-        store.commitSlice(m)
+        // caller props (e.g. the streaming replay guard) may only commit
+        // once the WHOLE build is durable — they ride the FINAL slice's
+        // atomic manifest rename, so a crash mid-build leaves them unset
+        // and the batch is rebuilt, never half-indexed-but-guarded
+        val last = sliceId == nSlices - 1
+        store.commitSlice(m, if (last) manifestProps else Map.empty)
+        if (last) propsWritten = true
         totalPostings += m.postings
         built += 1
         if (built >= failAfterSlice)
@@ -125,6 +146,10 @@ object IndexBuilder {
       }
       sliceId += 1
     }
+    // final slice was already committed by a previous (crashed) run: the
+    // index is complete, record the props now (slice data already durable,
+    // so this second rename has no correctness window)
+    if (!propsWritten) store.setManifestProps(manifestProps)
     BuildReport(built, skipped, nDocs, totalPostings, (System.nanoTime() - t0) / 1000000)
   }
 
@@ -151,15 +176,14 @@ object IndexBuilder {
     * rewriting. Term df/cf partials merge additively on read; query-time
     * stats recompute from the docs table.
     */
-  def append(spark: SparkSession, newDocs: DataFrame, store: IndexStore): SliceMeta = {
-    val s = store.settings
-    require(store.exists && s.contains("build.segSize"),
+  def append(
+      spark: SparkSession,
+      newDocs: DataFrame,
+      store: IndexStore,
+      manifestProps: Map[String, String] = Map.empty): SliceMeta = {
+    require(store.exists && store.settings.contains("build.segSize"),
       s"append requires an index built by IndexBuilder.build at ${store.root}")
-    val cfg = Config(
-      segSize = s("build.segSize").toInt,
-      blockSize = s("build.blockSize").toInt,
-      codec = s("build.codec"),
-      positions = s("build.positions").toBoolean)
+    val cfg = recordedConfig(store)
     val committed = store.committedSlices
     require(committed.nonEmpty, s"nothing committed at ${store.root}")
     val segSize = cfg.segSize.toLong
@@ -178,8 +202,23 @@ object IndexBuilder {
         s"docID is ${nextAppendDocId(store)}")
     val sliceId = committed.map(_.sliceId).max + 1
     val m = buildSlice(spark, base, store, cfg, sliceId, segLo, segHi)
-    store.commitSlice(m)
+    // manifestProps commit in the SAME atomic rename as the slice — the
+    // streaming replay guard rides here so no crash can separate them
+    store.commitSlice(m, manifestProps)
     m
+  }
+
+  /** The build recipe recorded in the store's settings — the single source
+    * of truth for segment geometry and codec once any slice is committed.
+    */
+  def recordedConfig(store: IndexStore): Config = {
+    val s = store.settings
+    Config(
+      segSize = s("build.segSize").toInt,
+      blockSize = s("build.blockSize").toInt,
+      slices = s.getOrElse("build.slices", "1").toInt,
+      codec = s("build.codec"),
+      positions = s("build.positions").toBoolean)
   }
 
   /** First docID a live append may use (the next fresh segment boundary) —

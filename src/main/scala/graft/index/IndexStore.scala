@@ -42,22 +42,46 @@ final class IndexStore(val root: String) {
   def exists: Boolean = Files.exists(manifestPath)
 
   def committedSlices: Seq[SliceMeta] =
-    if (!exists) Seq.empty else ManifestJson.parse(Files.readString(manifestPath))
+    if (!exists) Seq.empty else ManifestJson.parse(Files.readString(manifestPath))._1
 
-  /** Commit a slice: append to the manifest via write-tmp + atomic rename. */
-  def commitSlice(meta: SliceMeta): Unit = {
-    Files.createDirectories(rootPath)
-    val updated = committedSlices.filterNot(_.sliceId == meta.sliceId) :+ meta
-    val tmp = rootPath.resolve(s"manifest.json.tmp")
-    Files.write(tmp, ManifestJson.render(updated.sortBy(_.sliceId)).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  /** Key-value facts that must commit ATOMICALLY with a slice (e.g. the
+    * streaming replay guard's `stream.lastBatchId`) ride the manifest
+    * itself — one rename covers both the slice list and the props, so no
+    * crash window can separate them (unlike the settings file, a second
+    * rename).
+    */
+  def manifestProps: Map[String, String] =
+    if (!exists) Map.empty else ManifestJson.parse(Files.readString(manifestPath))._2
+
+  /** Commit a slice: append to the manifest via write-tmp + atomic rename.
+    * `props` merge into the manifest's props map in the SAME commit.
+    */
+  def commitSlice(meta: SliceMeta, props: Map[String, String] = Map.empty): Unit = {
+    val (slices, oldProps) =
+      if (!exists) (Seq.empty[SliceMeta], Map.empty[String, String])
+      else ManifestJson.parse(Files.readString(manifestPath))
+    val updated = slices.filterNot(_.sliceId == meta.sliceId) :+ meta
+    writeManifest(updated.sortBy(_.sliceId), oldProps ++ props)
   }
 
-  /** Replace the manifest with a single-slice view (compaction commit). */
-  private[index] def commitReplaceAll(meta: SliceMeta): Unit = {
+  /** Replace the manifest's slice list (merge/compaction commit); props
+    * survive the rewrite.
+    */
+  private[index] def commitReplaceSlices(metas: Seq[SliceMeta]): Unit =
+    writeManifest(metas.sortBy(_.sliceId), manifestProps)
+
+  /** Merge props into the manifest without touching the slice list. */
+  def setManifestProps(props: Map[String, String]): Unit = {
+    val (slices, oldProps) =
+      if (!exists) (Seq.empty[SliceMeta], Map.empty[String, String])
+      else ManifestJson.parse(Files.readString(manifestPath))
+    writeManifest(slices, oldProps ++ props)
+  }
+
+  private def writeManifest(slices: Seq[SliceMeta], props: Map[String, String]): Unit = {
     Files.createDirectories(rootPath)
     val tmp = rootPath.resolve(s"manifest.json.tmp")
-    Files.write(tmp, ManifestJson.render(Seq(meta)).getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, ManifestJson.render(slices, props).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -70,23 +94,41 @@ final class IndexStore(val root: String) {
     * is a re-layout, not a re-block. Commit is atomic via manifest rename;
     * old slice files are removed best-effort afterwards.
     */
-  def compact(spark: SparkSession): SliceMeta = {
-    import org.apache.spark.sql.functions.{col, count => cnt, lit, sum => fsum}
-    val old = committedSlices
-    require(old.nonEmpty, s"nothing to compact at $root")
-    val newId = old.map(_.sliceId).max + 1
+  def compact(spark: SparkSession): SliceMeta =
+    mergeSlices(spark, committedSlices.map(_.sliceId))
 
-    readTable(spark, "postings")
+  /** Merge a SUBSET of committed slices into one — the tiered-merge
+    * primitive a continuously-indexed corpus needs (every micro-batch
+    * append lands a fresh slice; unmerged, a term query touches N× more
+    * files and serving holds N× more block objects). Slices partition
+    * docID segments, so any subset's (term, seg) contents are disjoint and
+    * the merge is a pure re-layout — blocks are never re-encoded, norms
+    * never recomputed. Commit is atomic (manifest rename); superseded
+    * slice files are removed best-effort afterwards.
+    */
+  def mergeSlices(spark: SparkSession, sliceIds: Seq[Int]): SliceMeta = {
+    import org.apache.spark.sql.functions.{col, count => cnt, lit, sum => fsum}
+    val all = committedSlices
+    require(all.nonEmpty, s"nothing to compact at $root")
+    val idSet = sliceIds.toSet
+    val old = all.filter(s => idSet.contains(s.sliceId))
+    require(old.map(_.sliceId).toSet == idSet,
+      s"mergeSlices: not all of $sliceIds are committed at $root")
+    val newId = all.map(_.sliceId).max + 1
+    def readSub(table: String): DataFrame =
+      spark.read.parquet(old.map(s => slicePath(table, s.sliceId)): _*)
+
+    readSub("postings")
       .repartitionByRange(col("term"), col("seg"))
       .sortWithinPartitions(col("term"), col("seg"), col("blk"))
       .write.mode("overwrite").parquet(slicePath("postings", newId))
-    readTable(spark, "terms")
+    readSub("terms")
       .groupBy("term")
       .agg(fsum("df").as("df"), fsum("cf").as("cf"))
       .write.mode("overwrite").parquet(slicePath("terms", newId))
-    readTable(spark, "norms")
+    readSub("norms")
       .write.mode("overwrite").parquet(slicePath("norms", newId))
-    readTable(spark, "docs")
+    readSub("docs")
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(slicePath("docs", newId))
@@ -104,7 +146,7 @@ final class IndexStore(val root: String) {
     val meta = SliceMeta(newId, old.map(_.segLo).min, old.map(_.segHi).max,
       nDocs, agg.getLong(0), agg.getLong(1),
       postingBytes, System.currentTimeMillis())
-    commitReplaceAll(meta)
+    commitReplaceSlices(all.filterNot(s => idSet.contains(s.sliceId)) :+ meta)
     // best-effort cleanup of superseded slice files
     old.foreach { s =>
       Seq("postings", "terms", "norms", "docs").foreach { t =>
@@ -114,6 +156,29 @@ final class IndexStore(val root: String) {
       }
     }
     meta
+  }
+
+  /** Tiered merge policy: when more than `maxSlices` slices are committed,
+    * repeatedly merge the `mergeFactor` smallest-by-bytes slices into one
+    * until at most `maxSlices` remain. Like Lucene's TieredMergePolicy,
+    * the big base slice is only rewritten when it is itself among the
+    * smallest, so total rewrite work stays O(N log N) bytes over the life
+    * of a continuously-appended index, while query-visible slice count —
+    * and with it files-per-term-lookup and serving block objects — stays
+    * bounded.
+    */
+  def maybeMerge(
+      spark: SparkSession,
+      maxSlices: Int = 16,
+      mergeFactor: Int = 8): Seq[SliceMeta] = {
+    require(maxSlices >= 1 && mergeFactor >= 2, "maxSlices >= 1, mergeFactor >= 2")
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SliceMeta]
+    while (committedSlices.size > maxSlices) {
+      val victims = committedSlices.sortBy(s => (s.bytes, s.sliceId))
+        .take(math.min(mergeFactor, committedSlices.size - maxSlices + 1))
+      merged += mergeSlices(spark, victims.map(_.sliceId))
+    }
+    merged.toSeq
   }
 
   def dropAll(): Unit = {
@@ -305,17 +370,41 @@ private[index] object FlatJson {
 
 /** Minimal hand-rolled JSON for the manifest (flat schema, no deps). */
 private[index] object ManifestJson {
-  def render(slices: Seq[SliceMeta]): String = {
+  def render(slices: Seq[SliceMeta], props: Map[String, String] = Map.empty): String = {
     val items = slices.map { s =>
       s"""{"sliceId":${s.sliceId},"segLo":${s.segLo},"segHi":${s.segHi},"docs":${s.docs},""" +
         s""""postings":${s.postings},"blocks":${s.blocks},"bytes":${s.bytes},"committedAtMs":${s.committedAtMs}}"""
     }
-    s"""{"format":"graft-index-v1","slices":[${items.mkString(",")}]}"""
+    val propsPart = if (props.isEmpty) "" else s""""props":${FlatJson.render(props)},"""
+    s"""{"format":"graft-index-v1",$propsPart"slices":[${items.mkString(",")}]}"""
   }
 
   private val num = """"(\w+)"\s*:\s*(-?\d+)""".r
-  def parse(json: String): Seq[SliceMeta] = {
-    val body = json.substring(json.indexOf('['), json.lastIndexOf(']') + 1)
+  def parse(json: String): (Seq[SliceMeta], Map[String, String]) = {
+    // props object (flat string map) sits between "props":{ and its
+    // matching } — scan string-aware so a '}' inside a value can't truncate
+    val props = {
+      val tag = "\"props\":{"
+      val at = json.indexOf(tag)
+      if (at < 0) Map.empty[String, String]
+      else {
+        var i = at + tag.length
+        var inStr = false
+        var esc = false
+        var end = -1
+        while (end < 0 && i < json.length) {
+          val c = json.charAt(i)
+          if (esc) esc = false
+          else if (inStr && c == '\\') esc = true
+          else if (c == '"') inStr = !inStr
+          else if (!inStr && c == '}') end = i
+          i += 1
+        }
+        FlatJson.parse(json.substring(at + tag.length - 1, end + 1))
+      }
+    }
+    val body = json.substring(json.indexOf('[', json.indexOf("\"slices\":")),
+      json.lastIndexOf(']') + 1)
     val objs = mutable.ArrayBuffer.empty[SliceMeta]
     var depth = 0
     var start = -1
@@ -337,7 +426,7 @@ private[index] object ManifestJson {
       }
       i += 1
     }
-    objs.toSeq
+    (objs.toSeq, props)
   }
 }
 

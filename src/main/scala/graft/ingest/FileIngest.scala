@@ -26,6 +26,74 @@ object FileIngest {
       verified: Boolean)
 
   private val Corrupt = "_corrupt_record"
+  private val SeqCol = "__seq"
+
+  /** Reserve `n` values from the target's monotonic write-sequence counter
+    * (sidecar `_graft_seq` inside the target dir — underscore-prefixed, so
+    * parquet readers ignore it). The counter advances BEFORE any rows are
+    * written, so no two writes — including a crash-replayed one — ever
+    * share a sequence value. Each ingested file stamps its rows with one
+    * reserved value (`base + fileIndex`, the caller's file order), which
+    * is what makes the target's LWW resolution (`resolveLww`) reproduce
+    * the reference's `_id` overwrite semantics: a later write of the same
+    * id wins, and a crash-window replay of an identical file resolves to
+    * identical content (file_processor.py:248-257, README.md:192-198).
+    */
+  private def reserveSeqRange(targetPath: String, n: Int): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(targetPath)
+    Files.createDirectories(dir)
+    val f = dir.resolve("_graft_seq")
+    val base = if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
+    val tmp = dir.resolve("_graft_seq.tmp")
+    Files.writeString(tmp, (base + n).toString)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    base
+  }
+
+  /** Last-write-wins resolution over a seq-stamped id-keyed target: one
+    * row per id, the highest write sequence winning — the read-side half
+    * of the reference's `_id` overwrite. One hash shuffle on id; at 100 TB
+    * this is the same shape as the exact-dedup operator.
+    */
+  def resolveLww(df: DataFrame): DataFrame =
+    if (df.columns.contains("id") && df.columns.contains(SeqCol)) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id")).orderBy(col(SeqCol).desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    } else df
+
+  /** The target as a user reads it: id-resolved (LWW), bookkeeping column
+    * dropped. Physical duplicate ids from the write-then-ledger crash
+    * window resolve away here; `compactTarget` removes them physically.
+    */
+  def readResolved(spark: SparkSession, targetPath: String): DataFrame =
+    resolveLww(spark.read.parquet(targetPath)).drop(SeqCol)
+
+  /** Compaction-time LWW: physically rewrite the target to one row per id
+    * (keeping the seq column so later appends still resolve), preserving
+    * the sequence counter. Maintenance op — the swap is not atomic for
+    * concurrent readers (run it like `_forcemerge`, without readers).
+    * Returns the resolved row count.
+    */
+  def compactTarget(spark: SparkSession, targetPath: String): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val resolved = resolveLww(spark.read.parquet(targetPath))
+    val tmp = targetPath + ".__compact_tmp"
+    resolved.write.mode("overwrite").parquet(tmp)
+    val n = spark.read.parquet(tmp).count()
+    val dir = Paths.get(targetPath)
+    val seqFile = dir.resolve("_graft_seq")
+    val seqVal = if (Files.exists(seqFile)) Some(Files.readString(seqFile)) else None
+    val old = Paths.get(targetPath + ".__compact_old")
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
+    seqVal.foreach(v => Files.writeString(dir.resolve("_graft_seq"), v))
+    import scala.jdk.CollectionConverters._
+    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    n
+  }
 
   /** Explicit file-order key: `monotonically_increasing_id()` is
     * (partitionIndex << 33 | offset), and for a single file's scan the
@@ -113,15 +181,17 @@ object FileIngest {
     import spark.implicits._
 
     val done: Set[String] =
-      if (resume && new java.io.File(ledgerPath).exists())
+      if (resume && Fs.exists(ledgerPath))
         spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet
       else Set.empty
 
     val reports = scala.collection.mutable.ArrayBuffer.empty[FileReport]
     var processed = 0L
     var failed = 0L
+    // one write-sequence value per file, reserved up-front (caller order)
+    val seqBase = reserveSeqRange(targetPath, files.size)
 
-    files.foreach { f =>
+    files.zipWithIndex.foreach { case (f, fi) =>
       if (done.contains(f)) {
         reports += FileReport(f, 0L, 0L, "skipped")
       } else {
@@ -135,14 +205,15 @@ object FileIngest {
                 "id", Seq("__ord")).drop("__ord")
             else coerced
           val n = deduped.count()
-          deduped.write.mode("append").parquet(targetPath)
+          val stamped = deduped.withColumn(SeqCol, lit(seqBase + fi))
+          Retry("target")(stamped.write.mode("append").parquet(targetPath))
           // quarantine the failed RECORDS (content + error metadata,
           // 230 KB-chunked), not a count row — a user debugging a bad
           // batch needs the documents back (file_processor.py:263-413)
           val bad = failedRecs.count()
-          if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
+          if (bad > 0) Retry("dlq")(Dlq.writeRecords(failedRecs, dlqPath))
           cacheHandle.foreach(_.unpersist(blocking = false))
-          Seq(f).toDF("file").write.mode("append").parquet(ledgerPath)
+          Retry("ledger")(Seq(f).toDF("file").write.mode("append").parquet(ledgerPath))
           processed += n
           failed += bad
           reports += FileReport(f, n + bad, bad,
@@ -169,8 +240,12 @@ object FileIngest {
   private def targetCount(spark: SparkSession, targetPath: String): Long =
     try spark.read.parquet(targetPath).count()
     catch {
+      // PATH_NOT_FOUND: never created. UNABLE_TO_INFER_SCHEMA: the dir
+      // exists but holds no parquet (only the `_graft_seq` sidecar — every
+      // row write failed). Both mean 0 rows, not a read error.
       case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).exists(_.startsWith("PATH_NOT_FOUND")) => 0L
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("PATH_NOT_FOUND") || c.startsWith("UNABLE_TO_INFER_SCHEMA")) => 0L
     }
 
   /** input_file_name() returns a URI ("file:///tmp/a.csv"); the ledger and
@@ -209,10 +284,15 @@ object FileIngest {
     import spark.implicits._
 
     val done: Set[String] =
-      if (resume && new java.io.File(ledgerPath).exists())
+      if (resume && Fs.exists(ledgerPath))
         spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet
       else Set.empty
     val (skipped, pending) = files.partition(done.contains)
+    // same write-sequence assignment as the serial loop: one value per
+    // file in caller order, reserved before anything is written
+    val seqBase = reserveSeqRange(targetPath, files.size)
+    val seqOf: Map[String, Long] =
+      files.zipWithIndex.map { case (f, i) => f -> (seqBase + i) }.toMap
 
     // group by parse recipe: (kind, header). Header reads are driver-side
     // metadata-only (first line), no Spark job.
@@ -225,6 +305,22 @@ object FileIngest {
         } finally s.close()
       } catch { case _: Exception => None }
 
+    // at 1M files a serial first-line loop is driver-bound (each probe is
+    // an open+read+close round-trip); a bounded pool overlaps the I/O —
+    // probe time goes sublinear in wall-clock while order is preserved
+    def headersOf(ps: Seq[String]): Seq[(String, Option[String])] =
+      if (ps.size < 64) ps.map(p => p -> headerOf(p))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        try {
+          val futures = ps.map(p => p -> pool.submit(
+            new java.util.concurrent.Callable[Option[String]] {
+              def call(): Option[String] = headerOf(p)
+            }))
+          futures.map { case (p, fut) => p -> fut.get() }
+        } finally pool.shutdown()
+      }
+
     val reports = scala.collection.mutable.LinkedHashMap.empty[String, FileReport]
     skipped.foreach(f => reports(f) = FileReport(f, 0L, 0L, "skipped"))
     var processed = 0L
@@ -234,7 +330,8 @@ object FileIngest {
     // mid-run then re-does at most the in-flight unit under resume, the
     // same exposure as the serial loop's per-file ledger appends
     def ledgerWrite(fs: Seq[String]): Unit =
-      if (fs.nonEmpty) fs.toDF("file").write.mode("append").parquet(ledgerPath)
+      if (fs.nonEmpty)
+        Retry("ledger")(fs.toDF("file").write.mode("append").parquet(ledgerPath))
 
     // serial fallback shares the single-file path verbatim
     def serialOne(f: String): Unit =
@@ -247,9 +344,10 @@ object FileIngest {
               .drop("__ord")
           else coerced
         val n = deduped.count()
-        deduped.write.mode("append").parquet(targetPath)
+        val stamped = deduped.withColumn(SeqCol, lit(seqOf(f)))
+        Retry("target")(stamped.write.mode("append").parquet(targetPath))
         val bad = failedRecs.count()
-        if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
+        if (bad > 0) Retry("dlq")(Dlq.writeRecords(failedRecs, dlqPath))
         cacheHandle.foreach(_.unpersist(blocking = false))
         ledgerWrite(Seq(f))
         processed += n
@@ -298,7 +396,7 @@ object FileIngest {
                 col(Corrupt).cast(StringType).as("docJson"),
                 lit("parse_error").as("errorType"),
                 lit(s"malformed $kind row").as("errorReason"))
-              Dlq.writeRecords(failedRecs, dlqPath)
+              Retry("dlq")(Dlq.writeRecords(failedRecs, dlqPath))
             }
             val good =
               (if (hasCorrupt) cached.filter(col(Corrupt).isNull).drop(Corrupt) else cached)
@@ -319,7 +417,15 @@ object FileIngest {
             // consume it — without this the window dedup runs twice
             val dedupedP = deduped.persist()
             try {
-              dedupedP.drop("__file").write.mode("append").parquet(targetPath)
+              // per-file write-sequence stamp, same values the serial loop
+              // would assign (seqOf keyed on the caller's spelling)
+              val normSeq = paths
+                .map(p => fileUriToPath(new java.io.File(p).toURI.toString) -> seqOf(p))
+                .toMap
+              val stamped = dedupedP
+                .withColumn(SeqCol, element_at(typedlit(normSeq), col("__file")))
+              Retry("target")(
+                stamped.drop("__file").write.mode("append").parquet(targetPath))
               val writtenPerFile = dedupedP.groupBy("__file").agg(count(lit(1)).as("n"))
                 .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
               paths.foreach { p =>
@@ -345,7 +451,7 @@ object FileIngest {
 
     // CSV: one batch per distinct header (schema recipe); headerless files
     // take the serial path
-    val (headed, headless) = csvs.map(p => p -> headerOf(p)).partition(_._2.isDefined)
+    val (headed, headless) = headersOf(csvs).partition(_._2.isDefined)
     headless.map(_._1).foreach(serialOne)
     headed.groupBy(_._2.get).foreach { case (_, grp) =>
       val paths = grp.map(_._1)

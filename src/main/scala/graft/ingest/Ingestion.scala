@@ -241,8 +241,12 @@ object Guardrails {
     catalog.resolve(alias) match {
       case None => Abort(s"alias '$alias' does not exist")
       case Some(cur) =>
-        if (!new java.io.File(srcPath).exists) Abort(s"source table $srcPath does not exist")
-        else if (!new java.io.File(tgtPath).exists) Abort(s"target table $tgtPath does not exist")
+        // Hadoop FS probes, not java.io.File — the data itself is read
+        // through Spark's FS layer, so the guard must see the same
+        // namespace (a local-FS check is always false on hdfs:///s3a://,
+        // turning every switch into an abort)
+        if (!Fs.exists(srcPath)) Abort(s"source table $srcPath does not exist")
+        else if (!Fs.exists(tgtPath)) Abort(s"target table $tgtPath does not exist")
         else if (cur != srcPath)
           Abort(s"alias '$alias' points at $cur, not the expected source $srcPath")
         else validateSwitch(srcPath, tgtPath, srcCount, tgtCount, thresholdPct)

@@ -123,7 +123,14 @@ final class ServingIndex private[query] (
       * already tight (phrase queries then decode per query, the classic
       * positional trade). Bit-identity unconditional.
       */
-    posCache: Option[ClockCache[Serving.DecodedPositions]] = None) {
+    posCache: Option[ClockCache[Serving.DecodedPositions]] = None,
+    /** Budget accounting at open time — `overBudget` means the
+      * unevictable compressed positions plus the decode-cache floor
+      * exceed `maxBytes`: the node still serves bit-identically, but the
+      * operator's heap sizing must use `retainedPositionBytes +
+      * cacheBudgetBytes`, not `maxBytes`.
+      */
+    val openReport: Serving.OpenReport = Serving.OpenReport(0, 0, 0, 0, false, false)) {
 
   def loadedBytes: Long =
     cache.loadedBytes + retainedPositionBytes +
@@ -288,6 +295,18 @@ object Serving {
   /** The `hits.hits[]._source + _score` response row. */
   case class Hit(doc_id: Long, url: String, lang: String, doclen: Int, score: Double)
 
+  /** What `open` actually admitted against `maxBytes` (ADVICE: the open
+    * budget caps only the decoded-postings cache; unevictable compressed
+    * positions can push the floor past it — `overBudget` says so).
+    */
+  case class OpenReport(
+      maxBytes: Long,
+      estDecodedBytes: Long,
+      retainedPositionBytes: Long,
+      cacheBudgetBytes: Long,
+      bounded: Boolean,
+      overBudget: Boolean)
+
   /** Score gathered phrase matches with the GLOBAL df (= match count
     * across every shard) through the same BM25 kernels as all paths.
     */
@@ -364,7 +383,7 @@ object Serving {
     * term stats — BM25 idf must use corpus-wide df/N/avgdl in every
     * layout, exactly as the distributed path resolves stats driver-side.
     */
-  private def assemble(
+  private[query] def assemble(
       blocks: Array[PostingBlock],
       norms: java.util.HashMap[Integer, (Array[Long], Array[Int])],
       df: java.util.HashMap[String, Long],
@@ -379,9 +398,10 @@ object Serving {
     // (floored so a positions-heavy slice still gets a working cache)
     val posBytes = blocks.iterator.map(positionBytes).sum
     val fits = estDecoded + posBytes <= maxBytes
+    val cacheBudget = if (fits) estDecoded else math.max(maxBytes - posBytes, maxBytes / 16)
     val cache: BlockCache =
       if (fits) new FullDecodeCache(blocks)
-      else new ClockDecodeCache(math.max(maxBytes - posBytes, maxBytes / 16))
+      else new ClockDecodeCache(cacheBudget)
     // hot-phrase decoded-positions cache: only the headroom the budget
     // leaves after pre-decoded postings + retained compressed positions —
     // a tight budget means phrase queries decode per query as before
@@ -391,18 +411,59 @@ object Serving {
         Some(new ClockCache[Serving.DecodedPositions](
           headroom, decodePositionsOf, (_, v) => decodedPositionBytes(v)))
       else None
-    new ServingIndex(byTerm, cache, norms, df, stats, posBytes, posCache)
+    // honest budget accounting: the compressed positions are unevictable,
+    // so when they alone eat (almost) the whole budget the floor footprint
+    // posBytes + cache-floor EXCEEDS maxBytes — flag it rather than let a
+    // degraded node silently run past the heap the operator sized for
+    val report = Serving.OpenReport(
+      maxBytes = maxBytes,
+      estDecodedBytes = estDecoded,
+      retainedPositionBytes = posBytes,
+      cacheBudgetBytes = cacheBudget,
+      bounded = !fits,
+      overBudget = posBytes + cacheBudget > maxBytes)
+    new ServingIndex(byTerm, cache, norms, df, stats, posBytes, posCache, report)
   }
 
-  private def collectNorms(idx: OpenIndex): java.util.HashMap[Integer, (Array[Long], Array[Int])] = {
+  private def collectNorms(idx: OpenIndex): java.util.HashMap[Integer, (Array[Long], Array[Int])] =
+    normsMapOf(idx.norms.collect())
+
+  private[query] def normsMapOf(rows: Array[SegNorms]): java.util.HashMap[Integer, (Array[Long], Array[Int])] = {
     val norms = new java.util.HashMap[Integer, (Array[Long], Array[Int])]()
-    idx.norms.collect().foreach { n =>
+    rows.foreach { n =>
       val ds = VByte.undeltas(n.firstDoc, VByte.decode(n.docDeltas, n.n))
       val ls = Array.tabulate(n.n)(i => VByte.unpackIntAt(n.doclens, i))
       norms.put(n.seg, (ds, ls))
     }
     norms
   }
+
+  /** Open ONE shard of a document-sharded cluster, materializing ONLY that
+    * shard's blocks and norms (`seg mod nShards == shardId`, pushed into
+    * the scan as a filter) plus the small global term stats — what a real
+    * shard server does at open: its node's heap holds 1/nShards of the
+    * postings, never the whole index. `openSharded` is this in miniature
+    * with all shards in one JVM (it collects everything once because the
+    * router and shards share the process); this entry point is the
+    * per-node deployment form. Bit-identical: segments score locally with
+    * global stats in every layout.
+    */
+  def openShard(idx: OpenIndex, shardId: Int, nShards: Int, maxBytes: Long): ServingIndex = {
+    require(nShards >= 1 && shardId >= 0 && shardId < nShards,
+      s"shardId $shardId out of range for $nShards shards")
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val sBlocks = idx.postings.filter(pmod(col("seg"), lit(nShards)) === shardId).collect()
+    val sNorms = normsMapOf(idx.norms.filter(pmod(col("seg"), lit(nShards)) === shardId).collect())
+    assemble(sBlocks, sNorms, collectDf(idx), idx.stats, maxBytes)
+  }
+
+  /** Assemble a router over shards opened individually (e.g. via
+    * `openShard` or `ServingLayout.openExportedShard`). The shards must
+    * partition the segments (each seg on exactly one shard) and share the
+    * global stats — both true by construction for the open paths here.
+    */
+  def clusterOf(shards: IndexedSeq[ServingIndex]): ServingCluster =
+    new ServingCluster(shards, null)
 
   private def collectDf(idx: OpenIndex): java.util.HashMap[String, Long] = {
     val df = new java.util.HashMap[String, Long]()

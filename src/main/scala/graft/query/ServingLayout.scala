@@ -1,0 +1,94 @@
+package graft.query
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index._
+
+/** Serving snapshot export, partitioned by shard — the on-disk layout a
+  * document-sharded serving cluster deploys from. `IndexStore`'s slice
+  * layout is the BUILD layout (docID-range slices, resumable commits);
+  * a serving node wants the opposite projection: everything ITS shard
+  * serves (`seg mod nShards`) under one prefix, so the node reads exactly
+  * its own directory at open — no scan-and-filter over the whole index,
+  * no router-side collect. This is how the reference's OpenSearch lays
+  * out shard directories, re-expressed as a partitioned parquet write.
+  *
+  * Layout:
+  * {{{
+  *   <out>/postings/shard=<s>/   (this shard's posting blocks)
+  *   <out>/norms/shard=<s>/      (this shard's segment norms)
+  *   <out>/terms/                (GLOBAL df — BM25 idf needs corpus-wide stats)
+  *   <out>/stats.json            (global N/avgdl + shard count)
+  * }}}
+  */
+object ServingLayout {
+
+  /** One partitioned write per table — the shard dimension is a column,
+    * so the export is a single shuffle-free pass over the postings (the
+    * partitioned write splits files by the shard value within each task).
+    */
+  def exportShards(spark: SparkSession, store: IndexStore, outDir: String, nShards: Int): Unit = {
+    require(nShards >= 1, "need at least one shard")
+    val idx = store.open(spark)
+    val shardCol = pmod(col("seg"), lit(nShards)).as("shard")
+    idx.postings.toDF().withColumn("shard", shardCol)
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/postings")
+    idx.norms.toDF().withColumn("shard", shardCol)
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/norms")
+    // global term stats: merged df/cf (small — one row per distinct term)
+    idx.terms.toDF().write.mode("overwrite").parquet(s"$outDir/terms")
+    val st = idx.stats
+    Files.write(Paths.get(s"$outDir/stats.json"),
+      (s"""{"nDocs":${st.nDocs},"avgdl":${st.avgdl},"nTerms":${st.nTerms},""" +
+        s""""totalTokens":${st.totalTokens},"nShards":$nShards}""")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  def nShards(outDir: String): Int =
+    """"nShards"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(Files.readString(Paths.get(s"$outDir/stats.json")))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"no nShards in $outDir/stats.json"))
+
+  /** Open one shard from the export: the node reads ONLY its own
+    * directory (`shard=<id>` — directory-level pruning, not a filter over
+    * the full index) plus the small global stats. Bit-identical to
+    * `Serving.openSharded`'s in-process shards: same seg assignment, same
+    * global stats, same kernel.
+    */
+  def openExportedShard(
+      spark: SparkSession, outDir: String, shardId: Int, maxBytes: Long): ServingIndex = {
+    import spark.implicits._
+    val n = nShards(outDir)
+    require(shardId >= 0 && shardId < n, s"shardId $shardId out of range for $n shards")
+    val blocks = spark.read.parquet(s"$outDir/postings/shard=$shardId")
+      .as[PostingBlock].collect()
+    val norms = Serving.normsMapOf(
+      spark.read.parquet(s"$outDir/norms/shard=$shardId").as[SegNorms].collect())
+    val df = new java.util.HashMap[String, Long]()
+    spark.read.parquet(s"$outDir/terms").as[TermStat].collect()
+      .foreach(t => df.put(t.term, t.df))
+    val stats = {
+      val s = Files.readString(Paths.get(s"$outDir/stats.json"))
+      def num(k: String) = (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r
+        .findFirstMatchIn(s).get.group(1)
+      IndexStats(num("nDocs").toLong, num("avgdl").toDouble,
+        num("nTerms").toLong, num("totalTokens").toLong)
+    }
+    Serving.assemble(blocks, norms, df, stats, maxBytes)
+  }
+
+  /** All shards of an export opened in one process, routed — the
+    * integration-test form of the per-node deployment (each shard open
+    * still reads only its own directory).
+    */
+  def openExportedCluster(
+      spark: SparkSession, outDir: String, maxBytesPerShard: Long): ServingCluster =
+    Serving.clusterOf(
+      (0 until nShards(outDir))
+        .map(s => openExportedShard(spark, outDir, s, maxBytesPerShard)))
+}

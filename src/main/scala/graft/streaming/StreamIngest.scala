@@ -67,8 +67,13 @@ object StreamIngest {
     * `dedupStream`); docIDs are assigned per batch, so a document's id is
     * stable for the life of the index but not across re-ingestion. A
     * store is paired with ONE stream checkpoint for its lifetime — the
-    * replay guard records the checkpoint's batchIds in the store
-    * settings.
+    * replay guard commits inside the slice manifest itself.
+    *
+    * Segment lifecycle: each batch lands a fresh slice; after the append,
+    * `IndexStore.maybeMerge` keeps the committed slice count bounded
+    * (`maxSlices`, tiered smallest-first merges) so query-visible
+    * files-per-term and serving block counts don't grow with stream age.
+    * Pass `maxSlices = Int.MaxValue` to disable merging.
     */
   def indexStream(
       spark: SparkSession,
@@ -77,7 +82,8 @@ object StreamIngest {
       store: graft.index.IndexStore,
       checkpoint: String,
       bootstrapCfg: graft.index.IndexBuilder.Config =
-        graft.index.IndexBuilder.Config()): StreamingQuery = {
+        graft.index.IndexBuilder.Config(),
+      maxSlices: Int = 16): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(srcDir)
@@ -85,27 +91,44 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // foreachBatch is at-least-once: a crash between the sink's commit
-        // and the checkpoint's offset commit replays the batch. The last
-        // indexed batchId rides the store settings (atomic rename), so a
-        // replayed batch is skipped instead of re-appended under fresh
-        // docIDs. (Remaining window: a crash exactly between the slice
-        // commit and the settings rename re-appends one batch — closing
-        // it fully needs the batchId inside the manifest commit itself.)
-        val lastDone = store.settings.get("stream.lastBatchId").map(_.toLong).getOrElse(-1L)
-        if (batchId > lastDone && !batch.isEmpty) {
-          val exists = store.exists
-          val base = if (exists) graft.index.IndexBuilder.nextAppendDocId(store) else 0L
-          val withIds = graft.DocIds.assign(batch, keyCol = "url")
-            .withColumn("doc_id", col("doc_id") + base)
-            .select("doc_id", "url", "text", "lang")
-          if (exists) graft.index.IndexBuilder.append(spark, withIds, store)
-          else graft.index.IndexBuilder.build(spark, withIds, store, bootstrapCfg)
-          store.setSettings(Map("stream.lastBatchId" -> batchId.toString))
-        }
+        processIndexBatch(spark, batch, batchId, store, bootstrapCfg, maxSlices)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch of continuous indexing (the `indexStream` body,
+    * callable directly for replay testing). foreachBatch is
+    * at-least-once: a crash between the sink's commit and the
+    * checkpoint's offset commit replays the batch. The last indexed
+    * batchId is carried INSIDE the slice's manifest commit
+    * (`manifestProps`) — one atomic rename covers both the slice and the
+    * replay guard, so there is no crash window in which the slice is
+    * committed but the guard is not: on replay the batch is either fully
+    * absent (rebuilt) or fully present (skipped), never duplicated.
+    */
+  def processIndexBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      store: graft.index.IndexStore,
+      bootstrapCfg: graft.index.IndexBuilder.Config = graft.index.IndexBuilder.Config(),
+      maxSlices: Int = 16): Boolean = {
+    val lastDone = store.manifestProps.get("stream.lastBatchId").map(_.toLong).getOrElse(-1L)
+    val run = batchId > lastDone && !batch.isEmpty
+    if (run) {
+      val guard = Map("stream.lastBatchId" -> batchId.toString)
+      val exists = store.exists
+      val base = if (exists) graft.index.IndexBuilder.nextAppendDocId(store) else 0L
+      val withIds = graft.DocIds.assign(batch, keyCol = "url")
+        .withColumn("doc_id", col("doc_id") + base)
+        .select("doc_id", "url", "text", "lang")
+      if (exists) graft.index.IndexBuilder.append(spark, withIds, store, manifestProps = guard)
+      else graft.index.IndexBuilder.build(spark, withIds, store, bootstrapCfg,
+        manifestProps = guard)
+      if (maxSlices != Int.MaxValue) store.maybeMerge(spark, maxSlices)
+    }
+    run
   }
 
   /** Stateful streaming exact-dedup: keyed by content hash, the first-seen

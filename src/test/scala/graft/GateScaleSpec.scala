@@ -48,6 +48,32 @@ class GateScaleSpec extends AnyFunSuite {
         s"minhash=${mh.size} exact=${exact.size}")
   }
 
+  test("ANN gate recall bars hold at gate scale (sf0.1) with the GATE's parameters") {
+    import spark.implicits._
+    // `q_ann_ivf_topk` / `q_ann_lsh_topk` have no SQL oracle — their
+    // correctness bar is recall vs brute force. The suite pins those bars
+    // at suite scale with tuned parameters; HERE they are asserted at the
+    // driver's gate scale with the exact parameters the gates pass
+    // (SparkEntry: ivfTopK(k=10, nCells=16, nProbe=8, nAssign=2),
+    // lshTopK(k=10, nPlanes=8)), so corpus drift fails loudly instead of
+    // silently degrading the no-oracle gates. (This pin caught a real
+    // one: the gate originally passed nProbe=4/nAssign=1, which measures
+    // 0.525 recall@10 at sf0.1 — the gate now uses the tuned recipe.)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Ann.bruteForceTopK(emb, queries, k = 10))
+    assert(brute.size == 40)
+    val ivf = pairs(Ann.ivfTopK(emb, queries, k = 10, nCells = 16, nProbe = 8, nAssign = 2))
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    val lsh = pairs(Ann.lshTopK(emb, queries, k = 10, nPlanes = 8))
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    info(f"gate-scale recall@10: ivf=$ivfRecall%.3f lsh=$lshRecall%.3f")
+    assert(ivfRecall >= 0.9, s"q_ann_ivf_topk recall@10 $ivfRecall < 0.9 at gate scale")
+    assert(lshRecall >= 0.8, s"q_ann_lsh_topk recall@10 $lshRecall < 0.8 at gate scale")
+  }
+
   test("no shingle df exceeds the default guard at gate scale (sf0.1)") {
     import spark.implicits._
     val maxDf = spark.read.parquet(s"$sf/documents.parquet")

@@ -349,4 +349,105 @@ class IngestSpec extends AnyFunSuite {
     assert(tBatched < tSerial * 0.5,
       f"batched ingest must be materially faster: $tBatched%.1fs vs $tSerial%.1fs")
   }
+
+  test("re-ingest idempotency: write-then-ledger crash replay resolves to zero duplicate ids") {
+    val dir = Files.createTempDirectory("graft-replay-").toString
+    val f1 = s"$dir/f1.csv"
+    Files.writeString(java.nio.file.Paths.get(f1),
+      "id,name,value\n1,alice,10.5\n2,bob,20.0\n3,carol,30.0\n")
+    val (target, ledger, dlq) = (s"$dir/t", s"$dir/l", s"$dir/dlq")
+
+    val s1 = FileIngest.ingest(spark, Seq(f1), target, ledger, dlq)
+    assert(s1.processedRows == 3 && s1.verified)
+    def resolved() = FileIngest.readResolved(spark, target)
+      .select("id", "name", "value").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSet
+    val clean = resolved()
+    assert(clean.size == 3)
+
+    // the documented crash window: target rows appended, ledger row LOST
+    // (simulate by deleting the ledger), then a resume re-run replays f1
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(ledger)).iterator().asScala
+      .toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val s2 = FileIngest.ingest(spark, Seq(f1), target, ledger, dlq, resume = true)
+    assert(s2.files.head.status == "success") // replayed, not skipped
+
+    // physical target holds both writes; the LWW-resolved view is exactly
+    // the clean single-run content — the reference's `_id` overwrite makes
+    // its re-run idempotent the same way (file_processor.py:248-257)
+    assert(spark.read.parquet(target).count() == 6)
+    assert(resolved() == clean, "replay must be invisible in the resolved view")
+
+    // compaction-time LWW removes the physical duplicates: zero dup ids
+    val n = FileIngest.compactTarget(spark, target)
+    assert(n == 3)
+    val phys = spark.read.parquet(target)
+    assert(phys.count() == 3)
+    assert(phys.select("id").distinct().count() == 3, "zero duplicate ids after compaction")
+    assert(resolved() == clean)
+
+    // genuine update (NOT a replay): a later file re-indexes id=2 with new
+    // content — the resolved view takes the LATEST write (README.md:192-198)
+    val f2 = s"$dir/f2.csv"
+    Files.writeString(java.nio.file.Paths.get(f2),
+      "id,name,value\n2,bob-v2,21.0\n")
+    FileIngest.ingest(spark, Seq(f2), target, ledger, dlq)
+    val after = resolved()
+    assert(after.size == 3)
+    assert(after.contains((2.0, "bob-v2", 21.0)), s"latest write must win: $after")
+    assert(!after.exists { case (i, nm, _) => i == 2.0 && nm == "bob" })
+
+    // batched path stamps the same sequence semantics: replay under the
+    // batched reader resolves identically
+    val (t2, l2, d2) = (s"$dir/t2", s"$dir/l2", s"$dir/d2")
+    FileIngest.ingestBatched(spark, Seq(f1), t2, l2, d2)
+    Files.walk(java.nio.file.Paths.get(l2)).iterator().asScala
+      .toSeq.reverse.foreach(Files.deleteIfExists(_))
+    FileIngest.ingestBatched(spark, Seq(f1), t2, l2, d2, resume = true)
+    assert(spark.read.parquet(t2).count() == 6)
+    val resolved2 = FileIngest.readResolved(spark, t2)
+      .select("id", "name", "value").collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getDouble(2))).toSet
+    assert(resolved2 == clean)
+  }
+
+  test("driver-side retry with backoff: transient sink failures recover with no duplicate rows") {
+    val dir = Files.createTempDirectory("graft-retry-").toString
+    val f1 = s"$dir/r1.csv"
+    Files.writeString(java.nio.file.Paths.get(f1),
+      "id,name,value\n1,alice,10.5\n2,bob,oops,EXTRA,COLS\n3,carol,30.0\n")
+    val attempts = scala.collection.mutable.Map.empty[String, Int]
+    sys.props("graft.ingest.retryBaseMs") = "1"
+    // every sink's FIRST attempt throws (the reference's transient-failure
+    // model, opensearch_base_manager.py:97-132); the retry must recover
+    Retry.injectFault = (label, attempt) => {
+      attempts.synchronized { attempts(label) = attempts.getOrElse(label, 0) + 1 }
+      attempt == 1
+    }
+    try {
+      val s = FileIngest.ingest(spark, Seq(f1), s"$dir/t", s"$dir/l", s"$dir/dlq")
+      assert(s.files.head.status == "partial") // the corrupt row went to DLQ
+      assert(s.processedRows == 2 && s.failedRows == 1 && s.verified)
+      assert(spark.read.parquet(s"$dir/t").count() == 2, "retry must not duplicate rows")
+      assert(spark.read.parquet(s"$dir/dlq").count() == 1)
+      assert(spark.read.parquet(s"$dir/l").count() == 1)
+      assert(attempts.keySet == Set("target", "dlq", "ledger"), s"faults hit: $attempts")
+    } finally {
+      Retry.injectFault = null
+      sys.props.remove("graft.ingest.retryBaseMs")
+    }
+
+    // attempts exhausted → the failure surfaces as a failed file report
+    Retry.injectFault = (label, _) => label == "target"
+    sys.props("graft.ingest.retryBaseMs") = "1"
+    try {
+      val s2 = FileIngest.ingest(spark, Seq(f1), s"$dir/t3", s"$dir/l3", s"$dir/d3")
+      assert(s2.files.head.status.startsWith("failed"))
+      assert(s2.processedRows == 0)
+    } finally {
+      Retry.injectFault = null
+      sys.props.remove("graft.ingest.retryBaseMs")
+    }
+  }
 }

@@ -117,6 +117,15 @@ class PhraseSpec extends AnyFunSuite {
     // phrase queries decode per query and must stay bit-identical
     val tight = graft.query.Serving.open(idx, maxBytes = 1L)
     assert(tight.bounded)
+    // open report surfaces honest budget accounting: under a budget the
+    // unevictable compressed positions alone exceed, overBudget flags that
+    // heap sizing must use retainedPositionBytes + cacheBudgetBytes
+    assert(tight.openReport.overBudget)
+    assert(tight.openReport.retainedPositionBytes == tight.retainedPositionBytes)
+    assert(tight.openReport.retainedPositionBytes + tight.openReport.cacheBudgetBytes > 1L)
+    val roomy = serving.openReport
+    assert(!roomy.overBudget && !roomy.bounded)
+    assert(roomy.estDecodedBytes + roomy.retainedPositionBytes <= roomy.maxBytes)
     for (phrase <- Seq("fox fox", "red blue", "blue green red", "zzz qqq")) {
       val dist = Phrase.topK(spark, idx, phrase, 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

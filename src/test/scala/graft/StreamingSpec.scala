@@ -143,4 +143,108 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(out == Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
   }
+
+  test("processIndexBatch: replay guard commits atomically with the slice — replay never duplicates") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{OracleScorer, Wand}
+    val base = Files.createTempDirectory("graft-stream-replay-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16, positions = true)
+
+    val wave1 = Corpus.pages(spark, 200).toDF()
+    assert(StreamIngest.processIndexBatch(spark, wave1, 0L, store, cfg))
+    // the guard rides the SLICE MANIFEST itself — committed by the same
+    // atomic rename as the slice, so no crash can separate them (the old
+    // design wrote it to the settings file in a second rename)
+    assert(store.manifestProps.get("stream.lastBatchId").contains("0"))
+    assert(!store.settings.contains("stream.lastBatchId"))
+
+    val wave2 = Corpus.pages(spark, 400).toDF()
+      .filter(regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long") >= 200)
+    assert(StreamIngest.processIndexBatch(spark, wave2, 1L, store, cfg))
+    assert(store.manifestProps.get("stream.lastBatchId").contains("1"))
+    val slicesBefore = store.committedSlices
+    val ranked = Wand.topK(spark, store.open(spark), "the web crawl", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // checkpoint replay after a crash: at-least-once foreachBatch hands
+    // the same batch back — the manifest's guard skips it wholesale
+    assert(!StreamIngest.processIndexBatch(spark, wave2, 1L, store, cfg))
+    assert(store.committedSlices == slicesBefore, "replay must not append a slice")
+    val idx = store.open(spark)
+    assert(idx.stats.nDocs == 400, "replay must not duplicate documents")
+    val rankedAfter = Wand.topK(spark, idx, "the web crawl", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rankedAfter == ranked)
+    // and the replayed ranking still matches the brute-force oracle over
+    // the union corpus with the stream-assigned ids
+    val docsWithIds = idx.docs.select("doc_id", "url")
+      .join(wave1.union(wave2).select("url", "text", "lang"), "url")
+      .select("doc_id", "url", "text", "lang")
+    val oracle = OracleScorer.topK(spark, docsWithIds, "the web crawl", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rankedAfter == oracle)
+  }
+
+  test("segment lifecycle: 20 micro-batch appends, tiered merges bound slice count, compaction restores the single-build layout") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{OracleScorer, Serving, Wand}
+    val base = Files.createTempDirectory("graft-stream-merge-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 16, blockSize = 8, positions = true)
+    val corpus = Corpus.pages(spark, 400).toDF().cache()
+    val urlNum = regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long")
+
+    var maxSeen = 0
+    for (w <- 0 until 20) {
+      val wave = corpus.filter(urlNum >= w * 20 && urlNum < (w + 1) * 20)
+      assert(StreamIngest.processIndexBatch(spark, wave, w.toLong, store, cfg, maxSlices = 6))
+      maxSeen = math.max(maxSeen, store.committedSlices.size)
+    }
+    // the policy merged during the stream: slice count stayed bounded even
+    // though every batch landed as a fresh slice
+    assert(store.committedSlices.size <= 6,
+      s"merge policy must bound slices: ${store.committedSlices.size}")
+    assert(maxSeen <= 7, s"slice count crossed the bound mid-stream: $maxSeen")
+
+    val idx = store.open(spark)
+    assert(idx.stats.nDocs == 400)
+    val docsWithIds = idx.docs.select("doc_id", "url")
+      .join(corpus.select("url", "text", "lang"), "url")
+      .select("doc_id", "url", "text", "lang").cache()
+
+    // single-shot reference build over the SAME docID space
+    val refStore = new IndexStore(s"$base/ref")
+    IndexBuilder.build(spark, docsWithIds, refStore, cfg)
+    val refBlocks = refStore.committedSlices.map(_.blocks).sum
+
+    def ranked(ix: graft.index.OpenIndex, q: String, k: Int) =
+      Wand.topK(spark, ix, q, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // merges are pure re-layout: the merged index's blocks match the
+    // single build exactly (waves own disjoint segments, blocks are
+    // per-(term, seg)) and ranking is bit-identical to the oracle
+    assert(store.committedSlices.map(_.blocks).sum == refBlocks)
+    for (q <- Seq("the web crawl", "docmark42 posting"); k <- Seq(10, 50)) {
+      val oracle = OracleScorer.topK(spark, docsWithIds, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ranked(idx, q, k) == oracle, s"merged-index rank diverged for '$q'")
+    }
+
+    // forcemerge to one slice: block count lands exactly on the
+    // single-build band, ranking and serving results unchanged
+    val servedBefore = Serving.open(spark, store, 64L << 20).topK("the web crawl", 10).toSeq
+    store.compact(spark)
+    assert(store.committedSlices.size == 1)
+    assert(store.committedSlices.head.blocks == refBlocks,
+      s"compacted blocks ${store.committedSlices.head.blocks} != single-build $refBlocks")
+    val idxC = store.open(spark)
+    for (q <- Seq("the web crawl", "docmark42 posting")) {
+      val oracle = OracleScorer.topK(spark, docsWithIds, q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ranked(idxC, q, 10) == oracle, s"post-compaction rank diverged for '$q'")
+    }
+    assert(Serving.open(spark, store, 64L << 20).topK("the web crawl", 10).toSeq == servedBefore)
+    docsWithIds.unpersist(); corpus.unpersist()
+  }
 }

@@ -135,6 +135,33 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("per-shard opens and the partitioned serving export are bit-identical to openSharded") {
+    import graft.query.{Serving, ServingLayout}
+    val full = Serving.open(index, maxBytes = 2L << 30)
+    val nShards = 3
+
+    // openShard: each shard materializes ONLY its own blocks (the
+    // per-node deployment open) — the 3 shards partition the postings
+    val shards = (0 until nShards).map(s => Serving.openShard(index, s, nShards, 2L << 30))
+    assert(shards.map(_.loadedBytes).sum >= full.loadedBytes * 9 / 10)
+    assert(shards.exists(_.loadedBytes < full.loadedBytes),
+      "a shard open must not hold the whole index")
+    val cluster = Serving.clusterOf(shards.toIndexedSeq)
+    for (q <- queries; k <- Seq(10, 100))
+      assert(cluster.topK(q, k).toSeq == full.topK(q, k).toSeq, s"openShard q='$q' k=$k")
+
+    // exported layout: shard servers read exactly their own directory
+    val out = Files.createTempDirectory("graft-serving-export-").toString
+    ServingLayout.exportShards(spark, index.store, out, nShards)
+    assert(ServingLayout.nShards(out) == nShards)
+    // the export wrote one directory per shard — the unit a node deploys
+    for (s <- 0 until nShards)
+      assert(new java.io.File(s"$out/postings/shard=$s").isDirectory)
+    val exported = ServingLayout.openExportedCluster(spark, out, 2L << 30)
+    for (q <- queries; k <- Seq(10, 100))
+      assert(exported.topK(q, k).toSeq == full.topK(q, k).toSeq, s"export q='$q' k=$k")
+  }
+
   test("bounded decoded-block cache: over-budget slice serves bit-identically") {
     val full = graft.query.Serving.open(index, maxBytes = 2L << 30)
     assert(!full.bounded)
