@@ -20,12 +20,21 @@ import graft.query.Wand
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  private def session(cores: Int): SparkSession = session(cores, cores * 4)
+
+  /** `parts`: build sessions keep 4× cores (smaller sort/agg state per
+    * task, better overlap through the one wide shuffle); the QUERY
+    * session runs 1× cores — at gate scale every query is fixed-overhead
+    * dominated and task-launch count is the overhead (measured: the dedup
+    * suite halves, 6.9→3.7 s minhash, at 32 vs 128 partitions; build
+    * throughput is band-equal either way).
+    */
+  private def session(cores: Int, parts: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      // 4× cores: smaller sort/agg state per task, better overlap
-      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", parts.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -77,7 +86,7 @@ object Bench {
     // disagree by >2× get extra passes. Shipped per-query number =
     // min-of-reps (the standard estimator under one-sided degradation),
     // with the full series in the JSON as evidence.
-    val spark = session(cpus)
+    val spark = session(cpus, cpus)
     // pre-build the shared index so per-query timings measure the query,
     // not the one-off build; the build itself is timed in phase 3
     val idx = SparkEntry.indexFor(spark, sfDir)

@@ -26,6 +26,7 @@ object SparkEntry {
 
   // ---- shared inverted index per (JVM, sfDir): built once, reused ----
   private val idxCache = TrieMap.empty[String, OpenIndex]
+  private val exportCache = TrieMap.empty[String, String]
   private[graft] def indexFor(s: SparkSession, dir: String): OpenIndex =
     idxCache.getOrElseUpdate(dir, {
       val root = Files.createTempDirectory("graft-idx-").toString
@@ -241,6 +242,23 @@ object SparkEntry {
       import s.implicits._
       val cluster = graft.query.Serving.openSharded(
         indexFor(s, d), nShards = 3, maxBytesPerShard = 2L << 30)
+      cluster.topK("spark index dup", 10).toSeq.toDF("doc_id", "score")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // deployment-layout twin of q_bm25_sharded_top10 (same oracle): the
+    // index is exported partitioned by shard, each shard server opens
+    // ONLY its own directory, and the router must still merge to the
+    // exact distributed/serving ranking
+    "q_bm25_export_shard_top10" -> ((s, d) => {
+      import s.implicits._
+      val idx = indexFor(s, d)
+      val out = exportCache.getOrElseUpdate(d, {
+        val dir = Files.createTempDirectory("graft-export-").toString
+        graft.query.ServingLayout.exportShards(s, idx.store, dir, nShards = 3)
+        dir
+      })
+      val cluster = graft.query.ServingLayout.openExportedCluster(s, out, 2L << 30)
       cluster.topK("spark index dup", 10).toSeq.toDF("doc_id", "score")
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
@@ -535,6 +553,7 @@ object SparkEntry {
     "q_bm25_mixed_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_serving_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
     "q_bm25_sharded_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
+    "q_bm25_export_shard_top10" -> bm25Sql(Seq("spark", "index", "dup"), 10),
 
     // phrase = pseudo-term BM25: ptf counts consecutive-position (even
     // overlapping) occurrences; idf over exact phrase df; rank by the

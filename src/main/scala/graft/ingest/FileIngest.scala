@@ -38,6 +38,9 @@ object FileIngest {
     * the reference's `_id` overwrite semantics: a later write of the same
     * id wins, and a crash-window replay of an identical file resolves to
     * identical content (file_processor.py:248-257, README.md:192-198).
+    * Counter I/O is java.nio (atomic rename): local/NFS/HDFS-mounted
+    * paths; an object-store deployment would back this with a
+    * conditional-put counter.
     */
   private def reserveSeqRange(targetPath: String, n: Int): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -190,9 +193,14 @@ object FileIngest {
     var failed = 0L
     // one write-sequence value per file, reserved up-front (caller order)
     val seqBase = reserveSeqRange(targetPath, files.size)
+    // a path repeated WITHIN one call ingests once; later occurrences are
+    // skipped like resume (re-processing the same bytes twice in one run
+    // is never what the caller meant, and the batched path reads each
+    // distinct path once — this keeps the two paths report-identical)
+    val seen = scala.collection.mutable.Set.empty[String]
 
     files.zipWithIndex.foreach { case (f, fi) =>
-      if (done.contains(f)) {
+      if (done.contains(f) || !seen.add(f)) {
         reports += FileReport(f, 0L, 0L, "skipped")
       } else {
         try {
@@ -287,7 +295,9 @@ object FileIngest {
       if (resume && Fs.exists(ledgerPath))
         spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet
       else Set.empty
-    val (skipped, pending) = files.partition(done.contains)
+    // within-call duplicate paths ingest once (same rule as the serial
+    // loop); the final report maps later occurrences to "skipped"
+    val (skipped, pending) = files.distinct.partition(done.contains)
     // same write-sequence assignment as the serial loop: one value per
     // file in caller order, reserved before anything is written
     val seqBase = reserveSeqRange(targetPath, files.size)
@@ -295,7 +305,10 @@ object FileIngest {
       files.zipWithIndex.map { case (f, i) => f -> (seqBase + i) }.toMap
 
     // group by parse recipe: (kind, header). Header reads are driver-side
-    // metadata-only (first line), no Spark job.
+    // metadata-only (first line), no Spark job. LOCAL-FS probe: on a
+    // remote FS (hdfs/s3a) it returns None and the file takes the serial
+    // per-file path — correct, just ungrouped (remote deployments should
+    // group by directory convention instead).
     def headerOf(p: String): Option[String] =
       try {
         val s = java.nio.file.Files.lines(java.nio.file.Paths.get(p))
@@ -470,8 +483,13 @@ object FileIngest {
         .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", Corrupt)
         .json(jsons: _*))
 
-    // emit reports in the caller's file order
-    val ordered = files.map(f => reports.getOrElse(f, FileReport(f, 0L, 0L, "skipped")))
+    // emit reports in the caller's file order; only a path's FIRST
+    // occurrence carries its real report (later occurrences were skipped)
+    val emitted = scala.collection.mutable.Set.empty[String]
+    val ordered = files.map { f =>
+      if (emitted.add(f)) reports.getOrElse(f, FileReport(f, 0L, 0L, "skipped"))
+      else FileReport(f, 0L, 0L, "skipped")
+    }
     IngestSummary(ordered, processed + failed, processed, failed,
       verified = targetCount(spark, targetPath) >= processed)
   }

@@ -65,10 +65,13 @@ object ServingLayout {
     import spark.implicits._
     val n = nShards(outDir)
     require(shardId >= 0 && shardId < n, s"shardId $shardId out of range for $n shards")
-    val blocks = spark.read.parquet(s"$outDir/postings/shard=$shardId")
-      .as[PostingBlock].collect()
-    val norms = Serving.normsMapOf(
-      spark.read.parquet(s"$outDir/norms/shard=$shardId").as[SegNorms].collect())
+    // a shard that owns zero segments (fewer segments than shards) has no
+    // directory — it opens empty and the router merge is unaffected
+    def readOr[T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](path: String): Array[T] =
+      if (!graft.ingest.Fs.exists(path)) Array.empty[T]
+      else spark.read.parquet(path).as[T].collect()
+    val blocks = readOr[PostingBlock](s"$outDir/postings/shard=$shardId")
+    val norms = Serving.normsMapOf(readOr[SegNorms](s"$outDir/norms/shard=$shardId"))
     val df = new java.util.HashMap[String, Long]()
     spark.read.parquet(s"$outDir/terms").as[TermStat].collect()
       .foreach(t => df.put(t.term, t.df))

@@ -412,6 +412,22 @@ class IngestSpec extends AnyFunSuite {
     assert(resolved2 == clean)
   }
 
+  test("duplicate paths within one call ingest once — serial and batched agree") {
+    val dir = Files.createTempDirectory("graft-duppath-").toString
+    val f1 = s"$dir/a.csv"
+    Files.writeString(java.nio.file.Paths.get(f1),
+      "id,name,value\n1,alice,10.5\n2,bob,20.0\n")
+    val in = Seq(f1, f1, f1)
+    val s = FileIngest.ingest(spark, in, s"$dir/ts", s"$dir/ls", s"$dir/ds")
+    val b = FileIngest.ingestBatched(spark, in, s"$dir/tb", s"$dir/lb", s"$dir/db")
+    for (sum <- Seq(s, b)) {
+      assert(sum.processedRows == 2, sum)
+      assert(sum.files.map(_.status) == Seq("success", "skipped", "skipped"), sum.files)
+    }
+    assert(spark.read.parquet(s"$dir/ts").count() == 2)
+    assert(spark.read.parquet(s"$dir/tb").count() == 2)
+  }
+
   test("driver-side retry with backoff: transient sink failures recover with no duplicate rows") {
     val dir = Files.createTempDirectory("graft-retry-").toString
     val f1 = s"$dir/r1.csv"

@@ -9,7 +9,8 @@ object TimeQueries {
     val names = args(1).split(",").toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_TQ_PARTS", "128"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
