@@ -274,6 +274,10 @@ final class ServingIndex private[query] (
     docStore = m
   }
 
+  private[query] def hasDocs: Boolean = docStore != null
+  private[query] def docOf(id: Long): DocMeta =
+    if (docStore == null) null else docStore.get(id)
+
   /** Scored hits with stored fields (requires `withDocs` at open). */
   def topKHits(query: String, k: Int): Array[Serving.Hit] = {
     require(docStore != null, "serving index opened without docs; use withDocs = true")
@@ -544,11 +548,21 @@ final class ServingCluster private[query] (
     Serving.scorePhraseMatches(matches, shards.head.stats, k)
   }
 
+  /** Fetch phase: the router materializes stored fields either from its
+    * own doc store (in-process form) or by asking the shard that holds
+    * the document (per-shard doc stores — the deployment form, where
+    * `_source` lives next to the postings it scores). Documents live on
+    * exactly one shard, so the first shard that knows the id answers.
+    */
   def topKHits(query: String, k: Int): Array[Serving.Hit] = {
-    require(docStore != null, "cluster opened without docs; use withDocs = true")
+    val shardDocs = docStore == null && shards.forall(_.hasDocs)
+    require(docStore != null || shardDocs,
+      "cluster opened without docs; use withDocs = true")
     topK(query, k).map { case (id, score) =>
-      val d = docStore.get(id)
-      require(d != null, s"docId $id missing from the router doc store")
+      val d =
+        if (docStore != null) docStore.get(id)
+        else shards.iterator.map(_.docOf(id)).collectFirst { case m if m != null => m }.orNull
+      require(d != null, s"docId $id missing from the doc store")
       Serving.Hit(id, d.url, d.lang, d.doclen, score)
     }
   }

@@ -41,10 +41,18 @@ object ServingLayout {
       .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/norms")
     // global term stats: merged df/cf (small — one row per distinct term)
     idx.terms.toDF().write.mode("overwrite").parquet(s"$outDir/terms")
+    // fetch-phase doc store, sharded WITH the postings that score it:
+    // a document's _source lives on the shard that owns its segment
+    val segSize = store.settings.getOrElse("build.segSize",
+      throw new IllegalStateException(s"no build.segSize recorded at ${store.root}")).toLong
+    idx.docs
+      .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+      .withColumn("shard", pmod(expr(s"doc_id DIV ${segSize}L").cast("int"), lit(nShards)))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/docs")
     val st = idx.stats
     Files.write(Paths.get(s"$outDir/stats.json"),
       (s"""{"nDocs":${st.nDocs},"avgdl":${st.avgdl},"nTerms":${st.nTerms},""" +
-        s""""totalTokens":${st.totalTokens},"nShards":$nShards}""")
+        s""""totalTokens":${st.totalTokens},"nShards":$nShards,"segSize":$segSize}""")
         .getBytes(StandardCharsets.UTF_8))
   }
 
@@ -61,7 +69,8 @@ object ServingLayout {
     * global stats, same kernel.
     */
   def openExportedShard(
-      spark: SparkSession, outDir: String, shardId: Int, maxBytes: Long): ServingIndex = {
+      spark: SparkSession, outDir: String, shardId: Int, maxBytes: Long,
+      withDocs: Boolean = false): ServingIndex = {
     import spark.implicits._
     val n = nShards(outDir)
     require(shardId >= 0 && shardId < n, s"shardId $shardId out of range for $n shards")
@@ -82,7 +91,11 @@ object ServingLayout {
       IndexStats(num("nDocs").toLong, num("avgdl").toDouble,
         num("nTerms").toLong, num("totalTokens").toLong)
     }
-    Serving.assemble(blocks, norms, df, stats, maxBytes)
+    val si = Serving.assemble(blocks, norms, df, stats, maxBytes)
+    // per-shard fetch store: this node materializes _source only for the
+    // documents whose postings it scores
+    if (withDocs) si.loadDocs(readOr[DocMeta](s"$outDir/docs/shard=$shardId"))
+    si
   }
 
   /** All shards of an export opened in one process, routed — the
@@ -90,8 +103,50 @@ object ServingLayout {
     * still reads only its own directory).
     */
   def openExportedCluster(
-      spark: SparkSession, outDir: String, maxBytesPerShard: Long): ServingCluster =
+      spark: SparkSession, outDir: String, maxBytesPerShard: Long,
+      withDocs: Boolean = false): ServingCluster =
     Serving.clusterOf(
       (0 until nShards(outDir))
-        .map(s => openExportedShard(spark, outDir, s, maxBytesPerShard)))
+        .map(s => openExportedShard(spark, outDir, s, maxBytesPerShard, withDocs)))
+}
+
+/** A serving node that follows a LIVE index: continuous indexing
+  * (`StreamIngest.indexStream`) appends slices to the store, and the
+  * node re-opens when — and only when — the committed slice set changes,
+  * swapping the in-memory index atomically. Queries in flight keep the
+  * index they started on and new queries see the refreshed one: the
+  * zero-downtime refresh the reference gets from OpenSearch's
+  * per-segment reader reopen. Refresh cost is a full re-open (the slice
+  * files are immutable, so the merged/compacted layout is what gets
+  * loaded); call `refresh()` from a scheduler at the freshness interval
+  * the deployment wants.
+  */
+final class ServingNode(
+    spark: SparkSession,
+    store: IndexStore,
+    maxBytes: Long,
+    withDocs: Boolean = false) {
+
+  @volatile private var state: (Seq[SliceMeta], ServingIndex) = load()
+
+  private def load(): (Seq[SliceMeta], ServingIndex) = {
+    val slices = store.committedSlices
+    (slices, Serving.open(store.open(spark), maxBytes, withDocs))
+  }
+
+  /** The index serving new queries right now (stable reference — hold it
+    * for a multi-call exchange like query-then-fetch).
+    */
+  def current: ServingIndex = state._2
+
+  /** Re-open if the committed slice set changed; true when a new index
+    * was swapped in. Slice metas identify content: commits are atomic
+    * manifest renames and slice files are immutable once committed.
+    */
+  def refresh(): Boolean = {
+    val seen = state._1
+    val now = store.committedSlices
+    if (now == seen) false
+    else { state = load(); true }
+  }
 }

@@ -186,6 +186,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rankedAfter == oracle)
   }
 
+  test("ServingNode: zero-downtime refresh follows live appends") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{OracleScorer, ServingNode}
+    val base = Files.createTempDirectory("graft-servnode-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16, positions = true)
+    val wave1 = Corpus.pages(spark, 200).toDF()
+    StreamIngest.processIndexBatch(spark, wave1, 0L, store, cfg)
+
+    val node = new ServingNode(spark, store, maxBytes = 2L << 30)
+    val before = node.current.topK("the web crawl", 10).toSeq
+    assert(before.nonEmpty)
+    assert(!node.refresh(), "no change → no reopen")
+
+    // live append lands while the node keeps serving the OLD index
+    val wave2 = Corpus.pages(spark, 400).toDF()
+      .filter(regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long") >= 200)
+    StreamIngest.processIndexBatch(spark, wave2, 1L, store, cfg)
+    assert(node.current.stats.nDocs == 200, "in-flight index is stable until refresh")
+    assert(node.current.topK("the web crawl", 10).toSeq == before)
+
+    // refresh swaps in the appended corpus; ranking matches the oracle
+    assert(node.refresh())
+    assert(node.current.stats.nDocs == 400)
+    val idx = store.open(spark)
+    val docsWithIds = idx.docs.select("doc_id", "url")
+      .join(wave1.union(wave2).select("url", "text", "lang"), "url")
+      .select("doc_id", "url", "text", "lang")
+    val oracle = OracleScorer.topK(spark, docsWithIds, "the web crawl", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(node.current.topK("the web crawl", 10).toSeq == oracle)
+    // a compaction (slice ids change, content identical) also triggers a
+    // reopen, and the refreshed node serves identically
+    store.compact(spark)
+    assert(node.refresh())
+    assert(node.current.topK("the web crawl", 10).toSeq == oracle)
+  }
+
   test("segment lifecycle: 20 micro-batch appends, tiered merges bound slice count, compaction restores the single-build layout") {
     import graft.index.{IndexBuilder, IndexStore}
     import graft.query.{OracleScorer, Serving, Wand}

@@ -157,9 +157,14 @@ class WandSpec extends AnyFunSuite {
     // the export wrote one directory per shard — the unit a node deploys
     for (s <- 0 until nShards)
       assert(new java.io.File(s"$out/postings/shard=$s").isDirectory)
-    val exported = ServingLayout.openExportedCluster(spark, out, 2L << 30)
+    val exported = ServingLayout.openExportedCluster(spark, out, 2L << 30, withDocs = true)
     for (q <- queries; k <- Seq(10, 100))
       assert(exported.topK(q, k).toSeq == full.topK(q, k).toSeq, s"export q='$q' k=$k")
+    // fetch phase from the PER-SHARD doc stores (the deployment form):
+    // same hits as the single-node open-with-docs
+    val withDocsFull = Serving.open(index, maxBytes = 2L << 30, withDocs = true)
+    assert(exported.topKHits(queries.head, 10).toSeq ==
+      withDocsFull.topKHits(queries.head, 10).toSeq)
   }
 
   test("bounded decoded-block cache: over-budget slice serves bit-identically") {
