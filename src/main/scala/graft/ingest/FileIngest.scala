@@ -40,7 +40,9 @@ object FileIngest {
     * identical content (file_processor.py:248-257, README.md:192-198).
     * Counter I/O is java.nio (atomic rename): local/NFS/HDFS-mounted
     * paths; an object-store deployment would back this with a
-    * conditional-put counter.
+    * conditional-put counter. One ingest driver per target at a time
+    * (the reference's operational model) — the read-advance-rename is
+    * not a cross-process CAS.
     */
   private def reserveSeqRange(targetPath: String, n: Int): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

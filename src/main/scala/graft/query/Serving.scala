@@ -39,11 +39,25 @@ private[query] sealed trait BlockCache {
   * mt-throughput mode — per-query decode allocations make 16 threads
   * SLOWER than 1, GC-bound). Requires the decoded slice to fit the budget.
   */
-private[query] final class FullDecodeCache(blocks: Array[PostingBlock]) extends BlockCache {
+private[query] final class FullDecodeCache(
+    blocks: Array[PostingBlock],
+    /** Decoded entries from a PREVIOUS open of (a superset of) these
+      * block instances — incremental refresh reuses them so re-opening
+      * after a live append decodes only the NEW slices' blocks. Keys are
+      * identity, so only the exact instances a caller retained hit.
+      */
+    prev: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] = null)
+    extends BlockCache {
   private val m = new java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])](blocks.length * 2)
-  blocks.foreach(b => m.put(b, TermPostings.decodeBlock(b)))
+  private[query] var reusedDecodes = 0
+  blocks.foreach { b =>
+    val p = if (prev != null) prev.get(b) else null
+    if (p != null) { m.put(b, p); reusedDecodes += 1 }
+    else m.put(b, TermPostings.decodeBlock(b))
+  }
   val loadedBytes: Long = blocks.iterator.map(Serving.decodedBytes).sum
   def get(b: PostingBlock): (Array[Long], Array[Long]) = m.get(b)
+  private[query] def snapshot: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] = m
 }
 
 /** Bounded decoded-block cache: a slice whose decoded footprint exceeds
@@ -278,6 +292,20 @@ final class ServingIndex private[query] (
   private[query] def docOf(id: Long): DocMeta =
     if (docStore == null) null else docStore.get(id)
 
+  /** Decoded-block identity map when fully pre-decoded (else null) — the
+    * reuse handle for incremental refresh (`ServingNode`).
+    */
+  private[query] def decodedSnapshot
+      : java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] =
+    cache match {
+      case f: FullDecodeCache => f.snapshot
+      case _ => null
+    }
+  private[query] def reusedDecodes: Int = cache match {
+    case f: FullDecodeCache => f.reusedDecodes
+    case _ => 0
+  }
+
   /** Scored hits with stored fields (requires `withDocs` at open). */
   def topKHits(query: String, k: Int): Array[Serving.Hit] = {
     require(docStore != null, "serving index opened without docs; use withDocs = true")
@@ -392,7 +420,9 @@ object Serving {
       norms: java.util.HashMap[Integer, (Array[Long], Array[Int])],
       df: java.util.HashMap[String, Long],
       stats: IndexStats,
-      maxBytes: Long): ServingIndex = {
+      maxBytes: Long,
+      prevDecoded: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] = null)
+      : ServingIndex = {
     val byTerm = new java.util.HashMap[String, Array[PostingBlock]]()
     blocks.groupBy(_.term).foreach { case (t, bs) => byTerm.put(t, bs) }
     val estDecoded = blocks.iterator.map(decodedBytes).sum
@@ -404,7 +434,7 @@ object Serving {
     val fits = estDecoded + posBytes <= maxBytes
     val cacheBudget = if (fits) estDecoded else math.max(maxBytes - posBytes, maxBytes / 16)
     val cache: BlockCache =
-      if (fits) new FullDecodeCache(blocks)
+      if (fits) new FullDecodeCache(blocks, prevDecoded)
       else new ClockDecodeCache(cacheBudget)
     // hot-phrase decoded-positions cache: only the headroom the budget
     // leaves after pre-decoded postings + retained compressed positions —

@@ -118,20 +118,73 @@ object ServingLayout {
   * zero-downtime refresh the reference gets from OpenSearch's
   * per-segment reader reopen. Refresh cost is a full re-open (the slice
   * files are immutable, so the merged/compacted layout is what gets
-  * loaded); call `refresh()` from a scheduler at the freshness interval
-  * the deployment wants.
+  * loaded); call `refresh()` from ONE scheduler thread at the freshness
+  * interval the deployment wants (queries are thread-safe against the
+  * published index; `refresh` itself is single-caller).
   */
 final class ServingNode(
     spark: SparkSession,
     store: IndexStore,
     maxBytes: Long,
     withDocs: Boolean = false) {
+  import spark.implicits._
 
-  @volatile private var state: (Seq[SliceMeta], ServingIndex) = load()
+  /** Per-slice raw payloads, keyed by sliceId — slice files are immutable
+    * once committed, so a cached slice never reloads; a merge/compaction
+    * drops the old ids and loads the new one. This makes refresh cost
+    * proportional to the SLICE DELTA, not the index: under the tiered
+    * merge policy the big base slice is rarely rewritten, so a
+    * micro-batch append reloads (and re-decodes) only kilobytes.
+    */
+  private val sliceBlocks = scala.collection.mutable.Map.empty[Int, Array[PostingBlock]]
+  private val sliceNorms = scala.collection.mutable.Map.empty[Int, Array[SegNorms]]
 
-  private def load(): (Seq[SliceMeta], ServingIndex) = {
+  /** Refresh observability: slices loaded / dropped and decoded blocks
+    * reused on the last (re)open.
+    */
+  @volatile var lastLoadedSlices: Int = 0
+  @volatile var lastDroppedSlices: Int = 0
+  @volatile var lastReusedDecodes: Int = 0
+
+  @volatile private var state: (Seq[SliceMeta], ServingIndex) = load(null)
+
+  private def load(
+      prevDecoded: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])])
+      : (Seq[SliceMeta], ServingIndex) = {
     val slices = store.committedSlices
-    (slices, Serving.open(store.open(spark), maxBytes, withDocs))
+    require(slices.nonEmpty, s"nothing committed at ${store.root}")
+    val ids = slices.map(_.sliceId).toSet
+    val newIds = ids -- sliceBlocks.keySet
+    val dropped = sliceBlocks.keySet.toSet -- ids
+    newIds.toSeq.sorted.foreach { id =>
+      sliceBlocks(id) = spark.read.parquet(store.slicePath("postings", id))
+        .as[PostingBlock].collect()
+      sliceNorms(id) = spark.read.parquet(store.slicePath("norms", id))
+        .as[SegNorms].collect()
+    }
+    dropped.foreach { id => sliceBlocks.remove(id); sliceNorms.remove(id) }
+    lastLoadedSlices = newIds.size
+    lastDroppedSlices = dropped.size
+
+    val blocks = ids.toSeq.sorted.iterator.flatMap(sliceBlocks(_)).toArray
+    val norms = Serving.normsMapOf(ids.toSeq.sorted.iterator.flatMap(sliceNorms(_)).toArray)
+    // global term stats + corpus stats: small, recollected every refresh
+    // (direct parquet reads — no session-cached datasets to leak across
+    // repeated refreshes)
+    val df = new java.util.HashMap[String, Long]()
+    spark.read.parquet(slices.map(s => store.slicePath("terms", s.sliceId)): _*)
+      .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
+      .collect().foreach(r => df.put(r.getString(0), r.getLong(1)))
+    val stats = store.stats(spark)
+    val si = Serving.assemble(blocks, norms, df, stats, maxBytes, prevDecoded)
+    lastReusedDecodes = si.reusedDecodes
+    if (withDocs) {
+      si.loadDocs(
+        spark.read.parquet(slices.map(s => store.slicePath("docs", s.sliceId)): _*)
+          .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+          .as[DocMeta].collect())
+    }
+    (slices, si)
   }
 
   /** The index serving new queries right now (stable reference — hold it
@@ -142,11 +195,14 @@ final class ServingNode(
   /** Re-open if the committed slice set changed; true when a new index
     * was swapped in. Slice metas identify content: commits are atomic
     * manifest renames and slice files are immutable once committed.
+    * Unchanged slices keep their block instances AND their decoded
+    * postings (identity reuse through the new index's cache), so the
+    * decode work is bounded by the delta.
     */
   def refresh(): Boolean = {
     val seen = state._1
     val now = store.committedSlices
     if (now == seen) false
-    else { state = load(); true }
+    else { state = load(state._2.decodedSnapshot); true }
   }
 }

@@ -207,8 +207,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(node.current.stats.nDocs == 200, "in-flight index is stable until refresh")
     assert(node.current.topK("the web crawl", 10).toSeq == before)
 
-    // refresh swaps in the appended corpus; ranking matches the oracle
+    // refresh swaps in the appended corpus; ranking matches the oracle.
+    // INCREMENTAL: only the appended slice loads, and every block of the
+    // untouched bootstrap slice keeps its decoded postings (identity
+    // reuse) — refresh cost is the delta, not the index
     assert(node.refresh())
+    assert(node.lastLoadedSlices == 1, s"loaded ${node.lastLoadedSlices} slices")
+    assert(node.lastDroppedSlices == 0)
+    assert(node.lastReusedDecodes > 0, "bootstrap slice must not re-decode")
     assert(node.current.stats.nDocs == 400)
     val idx = store.open(spark)
     val docsWithIds = idx.docs.select("doc_id", "url")
@@ -218,9 +224,11 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(node.current.topK("the web crawl", 10).toSeq == oracle)
     // a compaction (slice ids change, content identical) also triggers a
-    // reopen, and the refreshed node serves identically
+    // reopen — the superseded slices drop, the merged one loads — and the
+    // refreshed node serves identically
     store.compact(spark)
     assert(node.refresh())
+    assert(node.lastLoadedSlices == 1 && node.lastDroppedSlices == 2)
     assert(node.current.topK("the web crawl", 10).toSeq == oracle)
   }
 
