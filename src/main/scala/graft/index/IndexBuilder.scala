@@ -76,7 +76,8 @@ object IndexBuilder {
       cfg: Config = Config(),
       fresh: Boolean = true,
       failAfterSlice: Int = Int.MaxValue,
-      manifestProps: Map[String, String] = Map.empty): BuildReport = {
+      manifestProps: Map[String, String] = Map.empty,
+      earlyProps: Map[String, String] = Map.empty): BuildReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
     if (fresh) store.dropAll()
@@ -88,9 +89,16 @@ object IndexBuilder {
     // stored recipe exactly.
     if (done.nonEmpty && store.settings.contains("build.segSize")) {
       val rec = recordedConfig(store)
-      require(cfg == rec,
+      // a store written before build.slices was recorded can't check that
+      // field — comparing against recordedConfig's default would abort
+      // every such resume (and "pass the recorded config" would then
+      // silently skip the unbuilt slices); trust the caller's value there
+      val recAdj =
+        if (store.settings.contains("build.slices")) rec
+        else rec.copy(slices = cfg.slices)
+      require(cfg == recAdj,
         s"resume with a different build config: supplied $cfg but the committed " +
-          s"slices at ${store.root} were built with $rec — pass the recorded config " +
+          s"slices at ${store.root} were built with $recAdj — pass the recorded config " +
           "(or rebuild fresh)")
     }
     // the build recipe rides the store's settings so `append` can derive
@@ -135,9 +143,12 @@ object IndexBuilder {
         // caller props (e.g. the streaming replay guard) may only commit
         // once the WHOLE build is durable — they ride the FINAL slice's
         // atomic manifest rename, so a crash mid-build leaves them unset
-        // and the batch is rebuilt, never half-indexed-but-guarded
+        // and the batch is rebuilt, never half-indexed-but-guarded.
+        // `earlyProps` (e.g. the streaming bootstrap-in-progress marker)
+        // ride EVERY commit, so a crashed multi-slice build is
+        // recognizable as in-progress from its very first slice.
         val last = sliceId == nSlices - 1
-        store.commitSlice(m, if (last) manifestProps else Map.empty)
+        store.commitSlice(m, if (last) earlyProps ++ manifestProps else earlyProps)
         if (last) propsWritten = true
         totalPostings += m.postings
         built += 1

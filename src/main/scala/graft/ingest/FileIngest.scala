@@ -89,12 +89,25 @@ object FileIngest {
     resolved.write.mode("overwrite").parquet(tmp)
     val n = spark.read.parquet(tmp).count()
     val dir = Paths.get(targetPath)
+    // the sequence counter travels INSIDE the swapped directory (written
+    // into tmp BEFORE any move, via its own tmp + atomic rename): every
+    // crash point leaves the counter either in the live dir or in the
+    // preserved .__compact_old — it can never be lost, which matters
+    // because a reset counter would hand out LOW seq values and invert
+    // LWW for every future write. Remaining window: a crash between the
+    // two directory moves leaves the target absent with the full data in
+    // .__compact_old — recovery is renaming it back (documented, not
+    // silent corruption).
     val seqFile = dir.resolve("_graft_seq")
-    val seqVal = if (Files.exists(seqFile)) Some(Files.readString(seqFile)) else None
+    if (Files.exists(seqFile)) {
+      val t = Paths.get(tmp).resolve("_graft_seq.tmp")
+      Files.writeString(t, Files.readString(seqFile))
+      Files.move(t, Paths.get(tmp).resolve("_graft_seq"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     val old = Paths.get(targetPath + ".__compact_old")
     Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
-    seqVal.foreach(v => Files.writeString(dir.resolve("_graft_seq"), v))
     import scala.jdk.CollectionConverters._
     Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     n
@@ -301,10 +314,12 @@ object FileIngest {
     // loop); the final report maps later occurrences to "skipped"
     val (skipped, pending) = files.distinct.partition(done.contains)
     // same write-sequence assignment as the serial loop: one value per
-    // file in caller order, reserved before anything is written
+    // file in caller order, reserved before anything is written; a
+    // duplicated path keeps its FIRST occurrence's value (the occurrence
+    // that actually ingests — the serial loop skips the later ones)
     val seqBase = reserveSeqRange(targetPath, files.size)
     val seqOf: Map[String, Long] =
-      files.zipWithIndex.map { case (f, i) => f -> (seqBase + i) }.toMap
+      files.zipWithIndex.reverse.map { case (f, i) => f -> (seqBase + i) }.toMap
 
     // group by parse recipe: (kind, header). Header reads are driver-side
     // metadata-only (first line), no Spark job. LOCAL-FS probe: on a
@@ -433,12 +448,22 @@ object FileIngest {
             val dedupedP = deduped.persist()
             try {
               // per-file write-sequence stamp, same values the serial loop
-              // would assign (seqOf keyed on the caller's spelling)
-              val normSeq = paths
-                .map(p => fileUriToPath(new java.io.File(p).toURI.toString) -> seqOf(p))
-                .toMap
-              val stamped = dedupedP
-                .withColumn(SeqCol, element_at(typedlit(normSeq), col("__file")))
+              // would assign. Keyed on BOTH the java.io-normalized form
+              // (local paths — what `normFileCol` yields) and the caller's
+              // own spelling (remote URIs like hdfs:// survive untouched
+              // in input_file_name, where java.io.File would mangle them).
+              // An unmapped path must fail the group LOUDLY (raise_error),
+              // never stamp null — a null seq would silently lose LWW
+              // resolution to any older write
+              val normSeq = paths.reverse.flatMap { p =>
+                val v = seqOf(p)
+                Seq(fileUriToPath(new java.io.File(p).toURI.toString) -> v, p -> v)
+              }.toMap
+              val stamped = dedupedP.withColumn(SeqCol,
+                coalesce(
+                  element_at(typedlit(normSeq), col("__file")),
+                  raise_error(concat(lit("unmapped ingest path: "), col("__file")))
+                    .cast("long")))
               Retry("target")(
                 stamped.drop("__file").write.mode("append").parquet(targetPath))
               val writtenPerFile = dedupedP.groupBy("__file").agg(count(lit(1)).as("n"))

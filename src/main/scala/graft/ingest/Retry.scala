@@ -47,12 +47,31 @@ object Retry {
   * into unconditional aborts (and resume into a ledger-ignoring no-op).
   */
 object Fs {
+  private def conf = org.apache.spark.sql.SparkSession.getActiveSession
+    .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    .map(_.sparkContext.hadoopConfiguration)
+    .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   def exists(path: String): Boolean = {
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(conf).exists(p)
+  }
+
+  /** Small sidecar writes/reads (e.g. a layout's stats.json) through the
+    * same FS the data uses — java.nio would silently target the LOCAL fs
+    * for an hdfs:///s3a:// layout and fail only after the heavy writes.
+    */
+  def writeString(path: String, s: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readString(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 }

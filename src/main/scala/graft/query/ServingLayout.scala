@@ -50,15 +50,16 @@ object ServingLayout {
       .withColumn("shard", pmod(expr(s"doc_id DIV ${segSize}L").cast("int"), lit(nShards)))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/docs")
     val st = idx.stats
-    Files.write(Paths.get(s"$outDir/stats.json"),
-      (s"""{"nDocs":${st.nDocs},"avgdl":${st.avgdl},"nTerms":${st.nTerms},""" +
+    // through the Hadoop FS layer, like the parquet it sits beside — the
+    // export must work wherever the data tables live
+    graft.ingest.Fs.writeString(s"$outDir/stats.json",
+      s"""{"nDocs":${st.nDocs},"avgdl":${st.avgdl},"nTerms":${st.nTerms},""" +
         s""""totalTokens":${st.totalTokens},"nShards":$nShards,"segSize":$segSize}""")
-        .getBytes(StandardCharsets.UTF_8))
   }
 
   def nShards(outDir: String): Int =
     """"nShards"\s*:\s*(\d+)""".r
-      .findFirstMatchIn(Files.readString(Paths.get(s"$outDir/stats.json")))
+      .findFirstMatchIn(graft.ingest.Fs.readString(s"$outDir/stats.json"))
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(s"no nShards in $outDir/stats.json"))
 
@@ -85,7 +86,7 @@ object ServingLayout {
     spark.read.parquet(s"$outDir/terms").as[TermStat].collect()
       .foreach(t => df.put(t.term, t.df))
     val stats = {
-      val s = Files.readString(Paths.get(s"$outDir/stats.json"))
+      val s = graft.ingest.Fs.readString(s"$outDir/stats.json")
       def num(k: String) = (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r
         .findFirstMatchIn(s).get.group(1)
       IndexStats(num("nDocs").toLong, num("avgdl").toDouble,
@@ -151,17 +152,25 @@ final class ServingNode(
   private def load(
       prevDecoded: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])])
       : (Seq[SliceMeta], ServingIndex) = {
+    // ONE manifest snapshot drives every read below — blocks, norms,
+    // terms, stats, and docs all come from the same committed slice set,
+    // so a concurrent append/merge can never mix old blocks with new
+    // corpus stats (which would break score identity)
     val slices = store.committedSlices
     require(slices.nonEmpty, s"nothing committed at ${store.root}")
     val ids = slices.map(_.sliceId).toSet
-    val newIds = ids -- sliceBlocks.keySet
+    val newIds = (ids -- sliceBlocks.keySet).toSeq.sorted
     val dropped = sliceBlocks.keySet.toSet -- ids
-    newIds.toSeq.sorted.foreach { id =>
-      sliceBlocks(id) = spark.read.parquet(store.slicePath("postings", id))
-        .as[PostingBlock].collect()
-      sliceNorms(id) = spark.read.parquet(store.slicePath("norms", id))
-        .as[SegNorms].collect()
+    // read EVERYTHING for the new slices first, commit to the caches only
+    // after all reads succeeded — a failure mid-load (transient FS error,
+    // or a concurrent merge deleting a superseded slice's files) leaves
+    // the caches exactly as they were, so the next refresh retries cleanly
+    val loaded = newIds.map { id =>
+      (id,
+        spark.read.parquet(store.slicePath("postings", id)).as[PostingBlock].collect(),
+        spark.read.parquet(store.slicePath("norms", id)).as[SegNorms].collect())
     }
+    loaded.foreach { case (id, b, n) => sliceBlocks(id) = b; sliceNorms(id) = n }
     dropped.foreach { id => sliceBlocks.remove(id); sliceNorms.remove(id) }
     lastLoadedSlices = newIds.size
     lastDroppedSlices = dropped.size
@@ -169,20 +178,23 @@ final class ServingNode(
     val blocks = ids.toSeq.sorted.iterator.flatMap(sliceBlocks(_)).toArray
     val norms = Serving.normsMapOf(ids.toSeq.sorted.iterator.flatMap(sliceNorms(_)).toArray)
     // global term stats + corpus stats: small, recollected every refresh
-    // (direct parquet reads — no session-cached datasets to leak across
-    // repeated refreshes)
+    // (direct parquet reads over THIS snapshot's paths — no re-read of
+    // the manifest, no session-cached datasets to leak across refreshes)
     val df = new java.util.HashMap[String, Long]()
     spark.read.parquet(slices.map(s => store.slicePath("terms", s.sliceId)): _*)
       .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
       .collect().foreach(r => df.put(r.getString(0), r.getLong(1)))
-    val stats = store.stats(spark)
+    val docsDf = spark.read.parquet(slices.map(s => store.slicePath("docs", s.sliceId)): _*)
+    val d = docsDf.agg(count("*"), sum("doclen")).head()
+    val (nDocs, tok) = (d.getLong(0), d.getLong(1))
+    val stats = IndexStats(nDocs, if (nDocs == 0) 0.0 else tok.toDouble / nDocs,
+      df.size().toLong, tok)
     val si = Serving.assemble(blocks, norms, df, stats, maxBytes, prevDecoded)
     lastReusedDecodes = si.reusedDecodes
     if (withDocs) {
-      si.loadDocs(
-        spark.read.parquet(slices.map(s => store.slicePath("docs", s.sliceId)): _*)
-          .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
-          .as[DocMeta].collect())
+      si.loadDocs(docsDf
+        .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+        .as[DocMeta].collect())
     }
     (slices, si)
   }
@@ -203,6 +215,14 @@ final class ServingNode(
     val seen = state._1
     val now = store.committedSlices
     if (now == seen) false
-    else { state = load(state._2.decodedSnapshot); true }
+    else
+      try { state = load(state._2.decodedSnapshot); true }
+      catch {
+        // transient load failure — including a concurrent merge deleting
+        // a superseded slice's files between our manifest snapshot and
+        // the parquet reads: keep serving the current index, next tick
+        // snapshots the post-merge manifest and retries cleanly
+        case _: Exception => false
+      }
   }
 }

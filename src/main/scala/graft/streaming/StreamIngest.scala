@@ -114,18 +114,36 @@ object StreamIngest {
       store: graft.index.IndexStore,
       bootstrapCfg: graft.index.IndexBuilder.Config = graft.index.IndexBuilder.Config(),
       maxSlices: Int = 16): Boolean = {
-    val lastDone = store.manifestProps.get("stream.lastBatchId").map(_.toLong).getOrElse(-1L)
+    val props = store.manifestProps
+    val lastDone = props.get("stream.lastBatchId").map(_.toLong).getOrElse(-1L)
     val run = batchId > lastDone && !batch.isEmpty
     if (run) {
       val guard = Map("stream.lastBatchId" -> batchId.toString)
-      val exists = store.exists
-      val base = if (exists) graft.index.IndexBuilder.nextAppendDocId(store) else 0L
+      // A multi-slice bootstrap that crashed mid-build left the store
+      // EXISTING but unguarded — replaying it through append would index
+      // the whole batch a second time on top of the partial slices. The
+      // bootstrap marker rides EVERY slice commit of the bootstrap build
+      // (earlyProps), so the replay recognizes the partial build and
+      // RESUMES it (committed slices skipped, same deterministic docIDs)
+      // instead of appending.
+      val partialBootstrap = store.exists &&
+        props.get("stream.bootstrapBatchId").map(_.toLong).contains(batchId)
+      val bootstrap = !store.exists || partialBootstrap
+      val base = if (bootstrap) 0L else graft.index.IndexBuilder.nextAppendDocId(store)
       val withIds = graft.DocIds.assign(batch, keyCol = "url")
         .withColumn("doc_id", col("doc_id") + base)
         .select("doc_id", "url", "text", "lang")
-      if (exists) graft.index.IndexBuilder.append(spark, withIds, store, manifestProps = guard)
-      else graft.index.IndexBuilder.build(spark, withIds, store, bootstrapCfg,
-        manifestProps = guard)
+      if (!bootstrap)
+        graft.index.IndexBuilder.append(spark, withIds, store, manifestProps = guard)
+      else {
+        val cfg =
+          if (partialBootstrap) graft.index.IndexBuilder.recordedConfig(store)
+          else bootstrapCfg
+        graft.index.IndexBuilder.build(spark, withIds, store, cfg,
+          fresh = !partialBootstrap,
+          manifestProps = guard,
+          earlyProps = Map("stream.bootstrapBatchId" -> batchId.toString))
+      }
       if (maxSlices != Int.MaxValue) store.maybeMerge(spark, maxSlices)
     }
     run

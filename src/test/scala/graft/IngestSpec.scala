@@ -426,6 +426,26 @@ class IngestSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(s"$dir/ts").count() == 2)
     assert(spark.read.parquet(s"$dir/tb").count() == 2)
+
+    // duplicate path + cross-file id collision: the duplicated path must
+    // keep its FIRST occurrence's write sequence in both paths, so LWW
+    // resolves the colliding id identically (a last-occurrence seq would
+    // flip the winner between serial and batched)
+    val f2 = s"$dir/b.csv"
+    Files.writeString(java.nio.file.Paths.get(f2),
+      "id,name,value\n1,alice-v2,11.0\n")
+    val in2 = Seq(f1, f2, f1) // f1 ingests at seq(index 0), f2 at seq(1)
+    def resolved(t: String, l: String, d: String) = {
+      FileIngest.ingest(spark, in2, t, l, d) // serial variant reused per target
+      FileIngest.readResolved(spark, t).select("id", "name")
+        .collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    }
+    val rs = resolved(s"$dir/t2s", s"$dir/l2s", s"$dir/d2s")
+    FileIngest.ingestBatched(spark, in2, s"$dir/t2b", s"$dir/l2b", s"$dir/d2b")
+    val rb = FileIngest.readResolved(spark, s"$dir/t2b").select("id", "name")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(rs == rb, s"serial=$rs batched=$rb")
+    assert(rs.contains((1.0, "alice-v2")), s"later file must win the id: $rs")
   }
 
   test("driver-side retry with backoff: transient sink failures recover with no duplicate rows") {

@@ -186,6 +186,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rankedAfter == oracle)
   }
 
+  test("processIndexBatch: a crashed multi-slice bootstrap RESUMES on replay — never double-indexes") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{OracleScorer, Wand}
+    val base = Files.createTempDirectory("graft-stream-pboot-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 64, blockSize = 16, slices = 4, positions = true)
+    val wave = Corpus.pages(spark, 300).toDF()
+
+    // simulate the crash: the exact build processIndexBatch(batchId=0)
+    // would run, killed after 2 of 4 slices — the bootstrap marker is in
+    // the manifest (earlyProps ride every commit), the replay guard is not
+    val withIds = DocIds.assign(wave, keyCol = "url").select("doc_id", "url", "text", "lang")
+    intercept[RuntimeException] {
+      IndexBuilder.build(spark, withIds, store, cfg, failAfterSlice = 2,
+        manifestProps = Map("stream.lastBatchId" -> "0"),
+        earlyProps = Map("stream.bootstrapBatchId" -> "0"))
+    }
+    assert(store.exists, "partial build left committed slices")
+    assert(!store.manifestProps.contains("stream.lastBatchId"))
+    assert(store.manifestProps.get("stream.bootstrapBatchId").contains("0"))
+    val committedBefore = store.committedSlices.map(_.sliceId).toSet
+
+    // checkpoint replay: must RESUME the bootstrap (append would index
+    // the whole batch a second time on top of the partial slices)
+    assert(StreamIngest.processIndexBatch(spark, wave, 0L, store, cfg))
+    val idx = store.open(spark)
+    assert(idx.stats.nDocs == 300, s"duplicated docs: ${idx.stats.nDocs}")
+    assert(committedBefore.subsetOf(store.committedSlices.map(_.sliceId).toSet))
+    assert(store.manifestProps.get("stream.lastBatchId").contains("0"))
+    val oracle = OracleScorer.topK(spark, withIds, "the web crawl", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(Wand.topK(spark, idx, "the web crawl", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == oracle)
+    // and a second replay is a plain skip
+    assert(!StreamIngest.processIndexBatch(spark, wave, 0L, store, cfg))
+  }
+
   test("ServingNode: zero-downtime refresh follows live appends") {
     import graft.index.{IndexBuilder, IndexStore}
     import graft.query.{OracleScorer, ServingNode}
@@ -223,13 +260,34 @@ class StreamingSpec extends AnyFunSuite {
     val oracle = OracleScorer.topK(spark, docsWithIds, "the web crawl", 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(node.current.topK("the web crawl", 10).toSeq == oracle)
+    // a transient load failure must NOT poison the node. The nastiest
+    // shape: the new slice's POSTINGS read succeeds but its NORMS read
+    // fails — a half-cached slice would make every later refresh throw.
+    // The node must report false, keep serving, and recover cleanly.
+    val wave3 = Corpus.pages(spark, 450).toDF()
+      .filter(regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long") >= 400)
+    val ids3 = DocIds.assign(wave3, "url")
+      .withColumn("doc_id", col("doc_id") + graft.index.IndexBuilder.nextAppendDocId(store))
+      .select("doc_id", "url", "text", "lang")
+    graft.index.IndexBuilder.append(spark, ids3, store)
+    val newSlice = store.committedSlices.map(_.sliceId).max
+    val nPath = java.nio.file.Paths.get(store.slicePath("norms", newSlice))
+    val hidden = java.nio.file.Paths.get(store.slicePath("norms", newSlice) + ".hidden")
+    java.nio.file.Files.move(nPath, hidden)
+    assert(!node.refresh(), "mid-load failure must report no refresh")
+    assert(node.current.stats.nDocs == 400, "old index must keep serving")
+    java.nio.file.Files.move(hidden, nPath)
+    assert(node.refresh(), "recovery refresh must succeed (no poisoned cache)")
+    assert(node.current.stats.nDocs == 450)
+
     // a compaction (slice ids change, content identical) also triggers a
     // reopen — the superseded slices drop, the merged one loads — and the
     // refreshed node serves identically
+    val before3 = node.current.topK("the web crawl", 10).toSeq
     store.compact(spark)
     assert(node.refresh())
-    assert(node.lastLoadedSlices == 1 && node.lastDroppedSlices == 2)
-    assert(node.current.topK("the web crawl", 10).toSeq == oracle)
+    assert(node.lastLoadedSlices == 1 && node.lastDroppedSlices == 3)
+    assert(node.current.topK("the web crawl", 10).toSeq == before3)
   }
 
   test("segment lifecycle: 20 micro-batch appends, tiered merges bound slice count, compaction restores the single-build layout") {
