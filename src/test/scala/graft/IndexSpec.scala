@@ -197,4 +197,28 @@ class IndexSpec extends AnyFunSuite {
     assert(IndexBuilder.nextAppendDocId(store) == 8L * 128)
     all.unpersist()
   }
+
+  test("manifest props: atomic round-trip with slices, escapes, merge semantics") {
+    val store = freshStore()
+    val meta = SliceMeta(0, 0, 3, 10L, 100L, 4L, 1234L, 1L)
+    // props with every escape class + a value containing '}' and '['
+    val props = Map(
+      "stream.lastBatchId" -> "7",
+      "weird" -> "a\"b\\c\nd\te}{[]",
+      "unicode" -> "\u0001x")
+    store.commitSlice(meta, props)
+    assert(store.committedSlices == Seq(meta))
+    assert(store.manifestProps == props)
+    // a later slice commit MERGES props (atomic with its slice)
+    val meta2 = SliceMeta(1, 4, 7, 5L, 50L, 2L, 567L, 2L)
+    store.commitSlice(meta2, Map("stream.lastBatchId" -> "8"))
+    assert(store.committedSlices.map(_.sliceId) == Seq(0, 1))
+    assert(store.manifestProps("stream.lastBatchId") == "8")
+    assert(store.manifestProps("weird") == props("weird"))
+    // props survive a slice-list rewrite (merge/compaction commit path)
+    store.setManifestProps(Map("extra" -> "1"))
+    assert(store.manifestProps.keySet == Set("stream.lastBatchId", "weird", "unicode", "extra"))
+    assert(store.committedSlices.map(_.sliceId) == Seq(0, 1))
+    store.dropAll()
+  }
 }
