@@ -89,10 +89,11 @@ object IndexBuilder {
     // stored recipe exactly.
     if (done.nonEmpty && store.settings.contains("build.segSize")) {
       val rec = recordedConfig(store)
-      // a store written before build.slices was recorded can't check that
-      // field — comparing against recordedConfig's default would abort
-      // every such resume (and "pass the recorded config" would then
-      // silently skip the unbuilt slices); trust the caller's value there
+      // a store written before build.slices was recorded can't compare
+      // that field directly — the caller's value is accepted HERE, and the
+      // per-slice boundary check below (computed vs recorded segLo/segHi)
+      // rejects any slices value that doesn't reproduce the committed
+      // layout, so the relaxation can never silently skip or overlap
       val recAdj =
         if (store.settings.contains("build.slices")) rec
         else rec.copy(slices = cfg.slices)
@@ -124,6 +125,25 @@ object IndexBuilder {
     val totalSegs = segHiAll - segLoAll + 1
     val nSlices = math.min(cfg.slices, totalSegs)
     val segsPerSlice = math.ceil(totalSegs.toDouble / nSlices).toInt
+
+    // resume consistency: every already-committed slice's recorded segment
+    // range must equal what THIS run's geometry assigns to its id — a
+    // cfg.slices (or corpus bounds) mismatch would otherwise re-slice the
+    // docID space so the remaining slices overlap or skip the committed
+    // ones, double- or under-indexing documents
+    // (slices with ids beyond this build's range are later live appends —
+    // they have their own geometry and are not part of the resume layout)
+    store.committedSlices
+      .filter(s => done.contains(s.sliceId) && s.sliceId < nSlices)
+      .foreach { s =>
+      val expLo = segLoAll + s.sliceId * segsPerSlice
+      val expHi = math.min(segLoAll + (s.sliceId + 1) * segsPerSlice - 1, segHiAll)
+      require(s.segLo == expLo && s.segHi == expHi,
+        s"resume layout mismatch at ${store.root}: committed slice ${s.sliceId} covers " +
+          s"segs [${s.segLo}, ${s.segHi}] but the supplied config/corpus re-derives " +
+          s"[$expLo, $expHi] — resume with the original config over the original corpus, " +
+          "or rebuild fresh")
+    }
 
     var built = 0
     var skipped = 0

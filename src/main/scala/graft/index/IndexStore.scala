@@ -272,14 +272,9 @@ final class IndexStore(val root: String) {
 
   /** Corpus stats derived from committed slice metrics + docs table. */
   def stats(spark: SparkSession): IndexStats = {
-    val d = readTable(spark, "docs")
-      .agg(count("*").as("n"), sum("doclen").as("tok"))
-      .head()
-    val n = d.getLong(0)
-    val tok = d.getLong(1)
     // distinct: per-slice partial term rows merge to one global term each
     val nTerms = readTable(spark, "terms").select("term").distinct().count()
-    IndexStats(n, if (n == 0) 0.0 else tok.toDouble / n, nTerms, tok)
+    IndexStats.fromDocs(readTable(spark, "docs"), nTerms)
   }
 }
 

@@ -52,6 +52,20 @@ case class TermStat(term: String, df: Long, cf: Long)
 
 case class IndexStats(nDocs: Long, avgdl: Double, nTerms: Long, totalTokens: Long)
 
+object IndexStats {
+  /** Corpus stats from a docs table — ONE null-safe aggregate (the sum of
+    * doclen over zero rows is SQL null, so an empty snapshot must not
+    * NPE). Single source of truth for every stats path (store-fresh and
+    * snapshot-pinned), so serving scores can't drift from `store.stats`.
+    */
+  def fromDocs(docs: org.apache.spark.sql.DataFrame, nTerms: Long): IndexStats = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val d = docs.agg(count(lit(1)), coalesce(sum("doclen"), lit(0L))).head()
+    val (n, tok) = (d.getLong(0), d.getLong(1))
+    IndexStats(n, if (n == 0) 0.0 else tok.toDouble / n, nTerms, tok)
+  }
+}
+
 case class DocMeta(doc_id: Long, url: String, doclen: Int, lang: String)
 
 /** Decoded posting cursor state used by the WAND evaluator.

@@ -459,11 +459,16 @@ object FileIngest {
                 val v = seqOf(p)
                 Seq(fileUriToPath(new java.io.File(p).toURI.toString) -> v, p -> v)
               }.toMap
+              // an unmapped spelling must fail the group BEFORE the write
+              // (and outside the retry — it's deterministic, not
+              // transient); stamping it null would silently lose LWW
+              // resolution to any older write of the same id
+              val unmapped = dedupedP.select("__file").distinct().collect()
+                .map(_.getString(0)).filterNot(normSeq.contains)
+              require(unmapped.isEmpty,
+                s"unmapped ingest path spelling(s): ${unmapped.take(3).mkString(", ")}")
               val stamped = dedupedP.withColumn(SeqCol,
-                coalesce(
-                  element_at(typedlit(normSeq), col("__file")),
-                  raise_error(concat(lit("unmapped ingest path: "), col("__file")))
-                    .cast("long")))
+                element_at(typedlit(normSeq), col("__file")))
               Retry("target")(
                 stamped.drop("__file").write.mode("append").parquet(targetPath))
               val writtenPerFile = dedupedP.groupBy("__file").agg(count(lit(1)).as("n"))

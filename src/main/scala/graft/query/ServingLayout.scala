@@ -1,8 +1,5 @@
 package graft.query
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -33,23 +30,32 @@ object ServingLayout {
     */
   def exportShards(spark: SparkSession, store: IndexStore, outDir: String, nShards: Int): Unit = {
     require(nShards >= 1, "need at least one shard")
-    val idx = store.open(spark)
+    // ONE manifest snapshot drives every read — a live append committing
+    // mid-export must not mix old postings with new stats.json counts
+    // (openExportedShard would then score with mismatched corpus stats)
+    val slices = store.committedSlices
+    require(slices.nonEmpty, s"nothing committed at ${store.root}")
+    def readSub(table: String) =
+      spark.read.parquet(slices.map(s => store.slicePath(table, s.sliceId)): _*)
     val shardCol = pmod(col("seg"), lit(nShards)).as("shard")
-    idx.postings.toDF().withColumn("shard", shardCol)
+    readSub("postings").withColumn("shard", shardCol)
       .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/postings")
-    idx.norms.toDF().withColumn("shard", shardCol)
+    readSub("norms").withColumn("shard", shardCol)
       .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/norms")
     // global term stats: merged df/cf (small — one row per distinct term)
-    idx.terms.toDF().write.mode("overwrite").parquet(s"$outDir/terms")
+    val terms = readSub("terms").groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
+    terms.write.mode("overwrite").parquet(s"$outDir/terms")
     // fetch-phase doc store, sharded WITH the postings that score it:
     // a document's _source lives on the shard that owns its segment
     val segSize = store.settings.getOrElse("build.segSize",
       throw new IllegalStateException(s"no build.segSize recorded at ${store.root}")).toLong
-    idx.docs
+    val docs = readSub("docs")
+    docs
       .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
       .withColumn("shard", pmod(expr(s"doc_id DIV ${segSize}L").cast("int"), lit(nShards)))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$outDir/docs")
-    val st = idx.stats
+    val st = IndexStats.fromDocs(docs, spark.read.parquet(s"$outDir/terms").count())
     // through the Hadoop FS layer, like the parquet it sits beside — the
     // export must work wherever the data tables live
     graft.ingest.Fs.writeString(s"$outDir/stats.json",
@@ -161,22 +167,16 @@ final class ServingNode(
     val ids = slices.map(_.sliceId).toSet
     val newIds = (ids -- sliceBlocks.keySet).toSeq.sorted
     val dropped = sliceBlocks.keySet.toSet -- ids
-    // read EVERYTHING for the new slices first, commit to the caches only
-    // after all reads succeeded — a failure mid-load (transient FS error,
-    // or a concurrent merge deleting a superseded slice's files) leaves
-    // the caches exactly as they were, so the next refresh retries cleanly
+    // EVERY read happens first — per-slice payloads AND the small global
+    // tables; caches and observability counters mutate only after all of
+    // them succeeded. A failure mid-load (transient FS error, or a
+    // concurrent merge deleting a superseded slice's files) leaves the
+    // node's state — caches and counters both — exactly as it was.
     val loaded = newIds.map { id =>
       (id,
         spark.read.parquet(store.slicePath("postings", id)).as[PostingBlock].collect(),
         spark.read.parquet(store.slicePath("norms", id)).as[SegNorms].collect())
     }
-    loaded.foreach { case (id, b, n) => sliceBlocks(id) = b; sliceNorms(id) = n }
-    dropped.foreach { id => sliceBlocks.remove(id); sliceNorms.remove(id) }
-    lastLoadedSlices = newIds.size
-    lastDroppedSlices = dropped.size
-
-    val blocks = ids.toSeq.sorted.iterator.flatMap(sliceBlocks(_)).toArray
-    val norms = Serving.normsMapOf(ids.toSeq.sorted.iterator.flatMap(sliceNorms(_)).toArray)
     // global term stats + corpus stats: small, recollected every refresh
     // (direct parquet reads over THIS snapshot's paths — no re-read of
     // the manifest, no session-cached datasets to leak across refreshes)
@@ -185,17 +185,23 @@ final class ServingNode(
       .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
       .collect().foreach(r => df.put(r.getString(0), r.getLong(1)))
     val docsDf = spark.read.parquet(slices.map(s => store.slicePath("docs", s.sliceId)): _*)
-    val d = docsDf.agg(count("*"), sum("doclen")).head()
-    val (nDocs, tok) = (d.getLong(0), d.getLong(1))
-    val stats = IndexStats(nDocs, if (nDocs == 0) 0.0 else tok.toDouble / nDocs,
-      df.size().toLong, tok)
+    val stats = IndexStats.fromDocs(docsDf, df.size().toLong)
+    val docMetas =
+      if (withDocs)
+        docsDf
+          .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+          .as[DocMeta].collect()
+      else null
+
+    loaded.foreach { case (id, b, n) => sliceBlocks(id) = b; sliceNorms(id) = n }
+    dropped.foreach { id => sliceBlocks.remove(id); sliceNorms.remove(id) }
+    lastLoadedSlices = newIds.size
+    lastDroppedSlices = dropped.size
+    val blocks = ids.toSeq.sorted.iterator.flatMap(sliceBlocks(_)).toArray
+    val norms = Serving.normsMapOf(ids.toSeq.sorted.iterator.flatMap(sliceNorms(_)).toArray)
     val si = Serving.assemble(blocks, norms, df, stats, maxBytes, prevDecoded)
     lastReusedDecodes = si.reusedDecodes
-    if (withDocs) {
-      si.loadDocs(docsDf
-        .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
-        .as[DocMeta].collect())
-    }
+    if (withDocs) si.loadDocs(docMetas)
     (slices, si)
   }
 
@@ -211,18 +217,32 @@ final class ServingNode(
     * postings (identity reuse through the new index's cache), so the
     * decode work is bounded by the delta.
     */
+  /** Last refresh failure, if the most recent attempt failed (cleared on
+    * success) — false-from-failure is distinguishable from
+    * false-from-no-change, so monitoring can tell "retry next tick" from
+    * "this node has been failing for an hour and serves stale data".
+    */
+  @volatile var lastRefreshError: Option[Throwable] = None
+
   def refresh(): Boolean = {
     val seen = state._1
     val now = store.committedSlices
     if (now == seen) false
     else
-      try { state = load(state._2.decodedSnapshot); true }
-      catch {
+      try {
+        state = load(state._2.decodedSnapshot)
+        lastRefreshError = None
+        true
+      } catch {
         // transient load failure — including a concurrent merge deleting
         // a superseded slice's files between our manifest snapshot and
-        // the parquet reads: keep serving the current index, next tick
-        // snapshots the post-merge manifest and retries cleanly
-        case _: Exception => false
+        // the parquet reads: keep serving the current index, surface the
+        // error, and let the next tick snapshot the post-merge manifest
+        // and retry cleanly. NonFatal only: interrupts and fatal JVM
+        // errors propagate.
+        case scala.util.control.NonFatal(e) =>
+          lastRefreshError = Some(e)
+          false
       }
   }
 }
