@@ -102,15 +102,6 @@ object IndexBuilder {
           s"slices at ${store.root} were built with $recAdj — pass the recorded config " +
           "(or rebuild fresh)")
     }
-    // the build recipe rides the store's settings so `append` can derive
-    // it (segment geometry and codec must match across slices)
-    store.setSettings(Map(
-      "build.segSize" -> cfg.segSize.toString,
-      "build.blockSize" -> cfg.blockSize.toString,
-      "build.codec" -> cfg.codec,
-      "build.positions" -> cfg.positions.toString,
-      "build.slices" -> cfg.slices.toString))
-
     val base = normalize(docs)
     // one stats pass: docID bounds + count (token_count no longer needed
     // here — impact metadata is stats-independent, so the build never
@@ -144,6 +135,17 @@ object IndexBuilder {
           s"[$expLo, $expHi] — resume with the original config over the original corpus, " +
           "or rebuild fresh")
     }
+
+    // the build recipe rides the store's settings so `append` can derive
+    // it (segment geometry and codec must match across slices) — recorded
+    // only AFTER the resume guards above accepted this cfg, so a refused
+    // resume can never overwrite the recipe the committed slices used
+    store.setSettings(Map(
+      "build.segSize" -> cfg.segSize.toString,
+      "build.blockSize" -> cfg.blockSize.toString,
+      "build.codec" -> cfg.codec,
+      "build.positions" -> cfg.positions.toString,
+      "build.slices" -> cfg.slices.toString))
 
     var built = 0
     var skipped = 0

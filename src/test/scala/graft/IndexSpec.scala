@@ -111,6 +111,37 @@ class IndexSpec extends AnyFunSuite {
     assert(resumed.committedSlices.forall(m => m.docs > 0 && m.postings > 0 && m.bytes > 0))
   }
 
+  test("resume refuses a config that re-slices committed work — even on a store without build.slices") {
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16, slices = 4)
+    val store = freshStore()
+    intercept[RuntimeException] {
+      IndexBuilder.build(spark, docs, store, cfg, failAfterSlice = 2)
+    }
+    // recorded-recipe equality refuses a different slices value outright
+    val e1 = intercept[IllegalArgumentException] {
+      IndexBuilder.build(spark, docs, store, cfg.copy(slices = 8), fresh = false)
+    }
+    assert(e1.getMessage.contains("different build config"))
+
+    // a store recorded BEFORE build.slices existed can't field-compare —
+    // the per-slice boundary check must still catch the re-slicing (a
+    // vacuous guard here would let slices 2..7 overlap the committed ones)
+    val settingsFile = java.nio.file.Paths.get(s"${store.root}/settings.json")
+    val stripped = java.nio.file.Files.readString(settingsFile)
+      .replaceAll(""""build\.slices":"\d+",?""", "")
+    java.nio.file.Files.writeString(settingsFile, stripped)
+    assert(!store.settings.contains("build.slices"))
+    val e2 = intercept[IllegalArgumentException] {
+      IndexBuilder.build(spark, docs, store, cfg.copy(slices = 8), fresh = false)
+    }
+    assert(e2.getMessage.contains("resume layout mismatch"), e2.getMessage)
+
+    // the ORIGINAL config still resumes such a store to a complete index
+    val report = IndexBuilder.build(spark, docs, store, cfg, fresh = false)
+    assert(report.slicesSkipped == 2 && report.slicesBuilt == 2)
+    assert(store.open(spark).stats.nDocs == 1000)
+  }
+
   test("deterministic across parallelism: 2 vs 7 shuffle partitions") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "2")
