@@ -186,6 +186,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rankedAfter == oracle)
   }
 
+  test("merge-policy stress: random wave sizes under aggressive merging stay rank-identical") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{OracleScorer, Wand}
+    val base = Files.createTempDirectory("graft-stream-fuzz-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 32, blockSize = 8, positions = true)
+    val rnd = new scala.util.Random(7)
+    val corpus = Corpus.pages(spark, 600).toDF().cache()
+    val urlNum = regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long")
+
+    // 12 waves of random width, merged aggressively (maxSlices=3) — the
+    // policy must keep merging mid-stream without ever disturbing ranks
+    var lo = 0L
+    var w = 0
+    while (lo < 600L && w < 12) {
+      val width = 10 + rnd.nextInt(80)
+      val hi = math.min(lo + width, 600L)
+      val wave = corpus.filter(urlNum >= lo && urlNum < hi)
+      assert(StreamIngest.processIndexBatch(spark, wave, w.toLong, store, cfg, maxSlices = 3))
+      assert(store.committedSlices.size <= 3)
+      lo = hi; w += 1
+    }
+    val idx = store.open(spark)
+    assert(idx.stats.nDocs == lo)
+    val docsWithIds = idx.docs.select("doc_id", "url")
+      .join(corpus.select("url", "text", "lang"), "url")
+      .select("doc_id", "url", "text", "lang").cache()
+    for (q <- Seq("the web crawl", "docmark42 posting", "the of and"); k <- Seq(10, 100)) {
+      val got = Wand.topK(spark, idx, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val oracle = OracleScorer.topK(spark, docsWithIds, q, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == oracle, s"stress rank diverged for '$q' k=$k after $w waves")
+    }
+    // stats over the merged store match a direct computation
+    val expectStats = graft.index.IndexStats.fromDocs(
+      idx.docs, idx.terms.select("term").distinct().count())
+    assert(idx.stats == expectStats)
+    docsWithIds.unpersist(); corpus.unpersist()
+  }
+
   test("processIndexBatch: a crashed multi-slice bootstrap RESUMES on replay — never double-indexes") {
     import graft.index.{IndexBuilder, IndexStore}
     import graft.query.{OracleScorer, Wand}
