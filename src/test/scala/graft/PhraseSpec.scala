@@ -126,12 +126,18 @@ class PhraseSpec extends AnyFunSuite {
     val roomy = serving.openReport
     assert(!roomy.overBudget && !roomy.bounded)
     assert(roomy.estDecodedBytes + roomy.retainedPositionBytes <= roomy.maxBytes)
+    // exported deployment layout: per-directory shard opens must carry
+    // the positional payload and phrase-score identically
+    val out = Files.createTempDirectory("graft-phr-export-").toString
+    graft.query.ServingLayout.exportShards(spark, store, out, nShards = 3)
+    val exported = graft.query.ServingLayout.openExportedCluster(spark, out, 2L << 30)
     for (phrase <- Seq("fox fox", "red blue", "blue green red", "zzz qqq")) {
       val dist = Phrase.topK(spark, idx, phrase, 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(serving.phraseTopK(phrase, 10).toSeq == dist, s"serving '$phrase'")
       assert(cluster.phraseTopK(phrase, 10).toSeq == dist, s"cluster '$phrase'")
       assert(tight.phraseTopK(phrase, 10).toSeq == dist, s"tight-budget '$phrase'")
+      assert(exported.phraseTopK(phrase, 10).toSeq == dist, s"exported '$phrase'")
     }
     store.dropAll()
   }
