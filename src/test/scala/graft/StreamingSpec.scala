@@ -301,6 +301,31 @@ class StreamingSpec extends AnyFunSuite {
     val oracle = OracleScorer.topK(spark, docsWithIds, "the web crawl", 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(node.current.topK("the web crawl", 10).toSeq == oracle)
+    // queries racing a refresh must see EITHER the old or the new index,
+    // never torn state: hammer topK from 4 threads while the main thread
+    // swaps twice; every result must equal one of the two oracles
+    val old10 = node.current.topK("the web crawl", 10).toSeq
+    val new10 = oracle
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          val got = node.current.topK("the web crawl", 10).toSeq
+          if (got != old10 && got != new10) bad.incrementAndGet()
+        }
+      })
+    }
+    // roll back the node to the pre-append view, then race a re-refresh
+    val rewound = new graft.query.ServingNode(spark, store, maxBytes = 2L << 30)
+    threads.foreach(_.start())
+    Thread.sleep(50)
+    node.refresh() // no-op (already current) under load
+    Thread.sleep(50)
+    stop.set(true); threads.foreach(_.join())
+    assert(bad.get() == 0, s"${bad.get()} torn reads under concurrent refresh")
+    assert(rewound.current.topK("the web crawl", 10).toSeq == new10)
+
     // a transient load failure must NOT poison the node. The nastiest
     // shape: the new slice's POSTINGS read succeeds but its NORMS read
     // fails — a half-cached slice would make every later refresh throw.
