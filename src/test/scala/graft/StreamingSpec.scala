@@ -301,6 +301,13 @@ class StreamingSpec extends AnyFunSuite {
     val oracle = OracleScorer.topK(spark, docsWithIds, "the web crawl", 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(node.current.topK("the web crawl", 10).toSeq == oracle)
+    // a withDocs node serves hits whose doc store follows the refresh
+    val nodeDocs = new graft.query.ServingNode(spark, store, maxBytes = 2L << 30,
+      withDocs = true)
+    val expectHits = graft.query.Serving.open(store.open(spark), 2L << 30, withDocs = true)
+      .topKHits("the web crawl", 5).toSeq
+    assert(nodeDocs.current.topKHits("the web crawl", 5).toSeq == expectHits)
+
     // queries racing a refresh must see EITHER the old or the new index,
     // never torn state: hammer topK from 4 threads while the main thread
     // swaps twice; every result must equal one of the two oracles
