@@ -65,10 +65,13 @@ final class IndexStore(val root: String) {
   }
 
   /** Replace the manifest's slice list (merge/compaction commit); props
-    * survive the rewrite.
+    * survive the rewrite and `addProps` merge in the SAME atomic rename —
+    * the dead-list entries for superseded slices must become visible in
+    * exactly the commit that supersedes them.
     */
-  private[index] def commitReplaceSlices(metas: Seq[SliceMeta]): Unit =
-    writeManifest(metas.sortBy(_.sliceId), manifestProps)
+  private[index] def commitReplaceSlices(
+      metas: Seq[SliceMeta], addProps: Map[String, String] = Map.empty): Unit =
+    writeManifest(metas.sortBy(_.sliceId), manifestProps ++ addProps)
 
   /** Merge props into the manifest without touching the slice list. */
   def setManifestProps(props: Map[String, String]): Unit = {
@@ -103,8 +106,16 @@ final class IndexStore(val root: String) {
     * files and serving holds N× more block objects). Slices partition
     * docID segments, so any subset's (term, seg) contents are disjoint and
     * the merge is a pure re-layout — blocks are never re-encoded, norms
-    * never recomputed. Commit is atomic (manifest rename); superseded
-    * slice files are removed best-effort afterwards.
+    * never recomputed. Commit is atomic (manifest rename).
+    *
+    * Superseded slice FILES are NOT deleted here: a concurrent reader —
+    * a distributed-path `OpenIndex` whose lazy Datasets still point at the
+    * old slice paths, or a `ServingNode` mid-refresh — may hold a
+    * pre-merge snapshot, and deleting under it fails its queries mid-
+    * flight (the reference's OpenSearch holds deleted segments open until
+    * readers drain). Instead the superseded ids land on a dead-list
+    * carried in the SAME manifest commit; `vacuum(minAgeMs)` reclaims
+    * them once every snapshot older than the grace window has drained.
     */
   def mergeSlices(spark: SparkSession, sliceIds: Seq[Int]): SliceMeta = {
     import org.apache.spark.sql.functions.{col, count => cnt, lit, sum => fsum}
@@ -143,19 +154,53 @@ final class IndexStore(val root: String) {
       if (!Files.exists(p)) 0L
       else Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
     }
+    val now = System.currentTimeMillis()
     val meta = SliceMeta(newId, old.map(_.segLo).min, old.map(_.segHi).max,
       nDocs, agg.getLong(0), agg.getLong(1),
-      postingBytes, System.currentTimeMillis())
-    commitReplaceSlices(all.filterNot(s => idSet.contains(s.sliceId)) :+ meta)
-    // best-effort cleanup of superseded slice files
-    old.foreach { s =>
+      postingBytes, now)
+    // supersede + dead-list in ONE atomic commit; files stay on disk for
+    // in-flight readers until vacuum's grace window passes
+    commitReplaceSlices(
+      all.filterNot(s => idSet.contains(s.sliceId)) :+ meta,
+      old.map(s => s"$DeadPrefix${s.sliceId}" -> now.toString).toMap)
+    meta
+  }
+
+  private val DeadPrefix = "dead."
+
+  /** Superseded-but-undeleted slices: sliceId → supersededAtMs. */
+  def deadSlices: Map[Int, Long] =
+    manifestProps.collect {
+      case (k, v) if k.startsWith(DeadPrefix) =>
+        k.stripPrefix(DeadPrefix).toInt -> v.toLong
+    }
+
+  /** Grace-period GC: delete the files of dead slices superseded at least
+    * `minAgeMs` ago, then drop them from the dead-list. Any reader whose
+    * manifest snapshot is younger than the grace window completes against
+    * intact files; the streaming loop calls this each tick with a window
+    * sized to the deployment's longest query. Returns (slices reclaimed,
+    * bytes reclaimed). Crash-safe: deletion happens BEFORE the dead-list
+    * entry is dropped, so a crash in between re-deletes a no-op next time.
+    */
+  def vacuum(minAgeMs: Long, nowMs: Long = System.currentTimeMillis()): (Int, Long) = {
+    val ripe = deadSlices.filter { case (_, at) => nowMs - at >= minAgeMs }
+    var bytes = 0L
+    ripe.keys.foreach { id =>
       Seq("postings", "terms", "norms", "docs").foreach { t =>
-        val p = Paths.get(slicePath(t, s.sliceId))
-        if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        val p = Paths.get(slicePath(t, id))
+        if (Files.exists(p)) {
+          val files = Files.walk(p).iterator().asScala.toSeq.reverse
+          bytes += files.filter(Files.isRegularFile(_)).map(Files.size).sum
+          files.foreach(Files.deleteIfExists(_))
+        }
       }
     }
-    meta
+    if (ripe.nonEmpty) {
+      val (slices, props) = ManifestJson.parse(Files.readString(manifestPath))
+      writeManifest(slices, props -- ripe.keys.map(id => s"$DeadPrefix$id"))
+    }
+    (ripe.size, bytes)
   }
 
   /** Tiered merge policy: when more than `maxSlices` slices are committed,
@@ -378,10 +423,10 @@ private[index] object ManifestJson {
   def parse(json: String): (Seq[SliceMeta], Map[String, String]) = {
     // props object (flat string map) sits between "props":{ and its
     // matching } — scan string-aware so a '}' inside a value can't truncate
-    val props = {
+    val (props, propsEnd) = {
       val tag = "\"props\":{"
       val at = json.indexOf(tag)
-      if (at < 0) Map.empty[String, String]
+      if (at < 0) (Map.empty[String, String], 0)
       else {
         var i = at + tag.length
         var inStr = false
@@ -395,10 +440,14 @@ private[index] object ManifestJson {
           else if (!inStr && c == '}') end = i
           i += 1
         }
-        FlatJson.parse(json.substring(at + tag.length - 1, end + 1))
+        (FlatJson.parse(json.substring(at + tag.length - 1, end + 1)), end + 1)
       }
     }
-    val body = json.substring(json.indexOf('[', json.indexOf("\"slices\":")),
+    // anchor the slice array AFTER the props object — a prop VALUE is an
+    // open caller-extensible string and may itself contain the literal
+    // "slices": (render order is format, props, slices, so the first
+    // post-props occurrence is the real one)
+    val body = json.substring(json.indexOf('[', json.indexOf("\"slices\":", propsEnd)),
       json.lastIndexOf(']') + 1)
     val objs = mutable.ArrayBuffer.empty[SliceMeta]
     var depth = 0

@@ -73,7 +73,11 @@ object StreamIngest {
     * `IndexStore.maybeMerge` keeps the committed slice count bounded
     * (`maxSlices`, tiered smallest-first merges) so query-visible
     * files-per-term and serving block counts don't grow with stream age.
-    * Pass `maxSlices = Int.MaxValue` to disable merging.
+    * Pass `maxSlices = Int.MaxValue` to disable merging. Merges dead-list
+    * superseded slice files instead of deleting them (concurrent readers
+    * hold pre-merge snapshots); each tick vacuums dead slices older than
+    * `vacuumGraceMs` — size the grace window to the deployment's longest
+    * query/refresh, so every in-flight snapshot drains before its files go.
     */
   def indexStream(
       spark: SparkSession,
@@ -83,7 +87,8 @@ object StreamIngest {
       checkpoint: String,
       bootstrapCfg: graft.index.IndexBuilder.Config =
         graft.index.IndexBuilder.Config(),
-      maxSlices: Int = 16): StreamingQuery = {
+      maxSlices: Int = 16,
+      vacuumGraceMs: Long = 10 * 60 * 1000L): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(srcDir)
@@ -91,7 +96,8 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processIndexBatch(spark, batch, batchId, store, bootstrapCfg, maxSlices)
+        processIndexBatch(spark, batch, batchId, store, bootstrapCfg, maxSlices,
+          vacuumGraceMs)
         ()
       }
       .start()
@@ -113,7 +119,8 @@ object StreamIngest {
       batchId: Long,
       store: graft.index.IndexStore,
       bootstrapCfg: graft.index.IndexBuilder.Config = graft.index.IndexBuilder.Config(),
-      maxSlices: Int = 16): Boolean = {
+      maxSlices: Int = 16,
+      vacuumGraceMs: Long = 10 * 60 * 1000L): Boolean = {
     val props = store.manifestProps
     val lastDone = props.get("stream.lastBatchId").map(_.toLong).getOrElse(-1L)
     val run = batchId > lastDone && !batch.isEmpty
@@ -145,6 +152,9 @@ object StreamIngest {
           earlyProps = Map("stream.bootstrapBatchId" -> batchId.toString))
       }
       if (maxSlices != Int.MaxValue) store.maybeMerge(spark, maxSlices)
+      // reclaim superseded slice files whose grace window has drained —
+      // readers still inside the window keep intact files
+      store.vacuum(vacuumGraceMs)
     }
     run
   }

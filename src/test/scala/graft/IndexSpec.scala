@@ -250,6 +250,19 @@ class IndexSpec extends AnyFunSuite {
     store.setManifestProps(Map("extra" -> "1"))
     assert(store.manifestProps.keySet == Set("stream.lastBatchId", "weird", "unicode", "extra"))
     assert(store.committedSlices.map(_.sliceId) == Seq(0, 1))
+    // ADVERSARIAL: props are an open caller-extensible map. A prop KEY
+    // named "slices" renders as a raw `"slices":` BEFORE the real array,
+    // and brackets/braces in values are NOT escaped — the parse must
+    // anchor the slice array only AFTER the props object's closing brace
+    store.setManifestProps(Map(
+      "slices" -> "[{}] pretend-array",
+      "evil" -> """x"slices":[{"sliceId":99}] {unbalanced""",
+      "evil2" -> """y"props":{"a":"b"}"""))
+    assert(store.committedSlices == Seq(meta, meta2),
+      "a prop keyed/valued with the parser's anchor literals corrupted the slice list")
+    assert(store.manifestProps("weird") == props("weird"))
+    assert(store.manifestProps("slices") == "[{}] pretend-array")
+    assert(store.manifestProps("evil2") == """y"props":{"a":"b"}""")
     store.dropAll()
   }
 }

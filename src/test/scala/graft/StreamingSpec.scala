@@ -363,6 +363,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(node.current.topK("the web crawl", 10).toSeq == before3)
   }
 
+  test("reader-safe slice GC: pre-merge reader completes bit-identically after a concurrent merge; vacuum honors grace then reclaims") {
+    import java.nio.file.Paths
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{Serving, Wand}
+    val base = Files.createTempDirectory("graft-gc-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 16, blockSize = 8, positions = true)
+    val corpus = Corpus.pages(spark, 400).toDF().cache()
+    val urlNum = regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long")
+    for (w <- 0 until 4) {
+      val wave = corpus.filter(urlNum >= w * 100 && urlNum < (w + 1) * 100)
+      assert(StreamIngest.processIndexBatch(spark, wave, w.toLong, store, cfg,
+        maxSlices = Int.MaxValue))
+    }
+    val preIds = store.committedSlices.map(_.sliceId)
+    assert(preIds.size == 4)
+
+    // a distributed-path reader whose snapshot PRECEDES the merge: its lazy
+    // Datasets point at the pre-merge slice paths
+    val preIdx = store.open(spark)
+
+    // merge lands from another thread (the streaming loop's maybeMerge)
+    val t = new Thread(() => { store.compact(spark); () })
+    t.start(); t.join()
+    assert(store.committedSlices.size == 1)
+    // superseded files are dead-listed in the SAME manifest commit, never
+    // deleted under the reader
+    assert(store.deadSlices.keySet == preIds.toSet)
+    preIds.foreach(id =>
+      assert(Files.exists(Paths.get(store.slicePath("postings", id)))))
+
+    // the pre-merge reader's query completes, bit-identical to a fresh
+    // post-merge open (merges are pure re-layout)
+    def ranked(ix: graft.index.OpenIndex, q: String) =
+      Wand.topK(spark, ix, q, 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fresh = store.open(spark)
+    for (q <- Seq("the web crawl", "docmark42 posting"))
+      assert(ranked(preIdx, q) == ranked(fresh, q),
+        s"pre-merge reader diverged (or died) for '$q'")
+    // the serving path over the pre-merge snapshot survives too
+    assert(Serving.open(preIdx, maxBytes = 64L << 20).topK("the web crawl", 10).toSeq ==
+      Serving.open(fresh, maxBytes = 64L << 20).topK("the web crawl", 10).toSeq)
+
+    // grace window: too-young dead slices are NOT reclaimed
+    assert(store.vacuum(minAgeMs = 10 * 60 * 1000L) == ((0, 0L)))
+    preIds.foreach(id =>
+      assert(Files.exists(Paths.get(store.slicePath("postings", id)))))
+
+    // past the grace window the bytes come back and the dead-list empties
+    val (n, bytes) = store.vacuum(minAgeMs = 0L)
+    assert(n == preIds.size && bytes > 0L, s"vacuum reclaimed ($n, $bytes)")
+    assert(store.deadSlices.isEmpty)
+    preIds.foreach { id =>
+      Seq("postings", "terms", "norms", "docs").foreach(tb =>
+        assert(!Files.exists(Paths.get(store.slicePath(tb, id)))))
+    }
+    // vacuum is idempotent and the post-merge index is untouched
+    assert(store.vacuum(0L) == ((0, 0L)))
+    for (q <- Seq("the web crawl", "docmark42 posting"))
+      assert(ranked(store.open(spark), q) == ranked(fresh, q))
+    corpus.unpersist()
+  }
+
   test("segment lifecycle: 20 micro-batch appends, tiered merges bound slice count, compaction restores the single-build layout") {
     import graft.index.{IndexBuilder, IndexStore}
     import graft.query.{OracleScorer, Serving, Wand}
