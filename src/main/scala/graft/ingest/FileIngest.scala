@@ -38,22 +38,60 @@ object FileIngest {
     * the reference's `_id` overwrite semantics: a later write of the same
     * id wins, and a crash-window replay of an identical file resolves to
     * identical content (file_processor.py:248-257, README.md:192-198).
-    * Counter I/O is java.nio (atomic rename): local/NFS/HDFS-mounted
-    * paths; an object-store deployment would back this with a
-    * conditional-put counter. One ingest driver per target at a time
-    * (the reference's operational model) — the read-advance-rename is
-    * not a cross-process CAS.
+    *
+    * Counter I/O goes through the Hadoop FS layer (`Fs`), so the counter
+    * lives WITH the target on hdfs:///s3a:// deployments — a java.nio
+    * sidecar would silently land in a local directory that does not
+    * travel with the data, and a new driver would then see base=0 and
+    * invert LWW for every future write.
+    *
+    * Single-writer is ENFORCED, not just documented: reservation holds an
+    * exclusive create-fail lock file (`_graft_seq.lock`), so two
+    * concurrent ingest drivers can never read the same base and stamp
+    * overlapping sequence values (which would make LWW ambiguous). A
+    * competing driver spins briefly, then aborts loudly; a lock older
+    * than `graft.ingest.seqLockStaleMs` (crashed owner — reservation
+    * itself is milliseconds) is broken. Crash-safety of the advance: the
+    * new value is written to `_graft_seq.tmp` BEFORE the old file is
+    * replaced, and readers take max(counter, tmp), so every crash point
+    * resumes at-or-above the reserved range (skipping values is safe —
+    * only monotonicity matters).
     */
   private def reserveSeqRange(targetPath: String, n: Int): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(targetPath)
-    Files.createDirectories(dir)
-    val f = dir.resolve("_graft_seq")
-    val base = if (Files.exists(f)) Files.readString(f).trim.toLong else 0L
-    val tmp = dir.resolve("_graft_seq.tmp")
-    Files.writeString(tmp, (base + n).toString)
-    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    base
+    val dir = targetPath.stripSuffix("/")
+    val f = s"$dir/_graft_seq"
+    val tmp = s"$dir/_graft_seq.tmp"
+    val lock = s"$dir/_graft_seq.lock"
+    Fs.mkdirs(dir)
+    def prop(k: String, d: Long) = sys.props.get(k).map(_.toLong).getOrElse(d)
+    val timeoutMs = prop("graft.ingest.seqLockTimeoutMs", 10000L)
+    val staleMs = prop("graft.ingest.seqLockStaleMs", 60000L)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    while (!held) {
+      held = Fs.createExclusive(lock,
+        s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}")
+      if (!held) {
+        val age = Fs.modTimeMs(lock).map(System.currentTimeMillis() - _)
+        if (age.exists(_ > staleMs)) Fs.delete(lock) // crashed owner
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"seq-counter lock $lock is held by another ingest driver " +
+              s"(age ${age.getOrElse(-1L)} ms) — concurrent ingest into one target " +
+              "is single-writer; if the owner crashed, the lock breaks after " +
+              s"$staleMs ms or can be removed manually")
+        else Thread.sleep(50)
+      }
+    }
+    try {
+      def readLong(p: String): Long =
+        try Fs.readString(p).trim.toLong catch { case _: Exception => 0L }
+      val base = math.max(readLong(f), readLong(tmp))
+      Fs.writeString(tmp, (base + n).toString)
+      Fs.delete(f)
+      Fs.rename(tmp, f)
+      base
+    } finally Fs.delete(lock)
   }
 
   /** Last-write-wins resolution over a seq-stamped id-keyed target: one
@@ -73,8 +111,34 @@ object FileIngest {
     * dropped. Physical duplicate ids from the write-then-ledger crash
     * window resolve away here; `compactTarget` removes them physically.
     */
-  def readResolved(spark: SparkSession, targetPath: String): DataFrame =
+  def readResolved(spark: SparkSession, targetPath: String): DataFrame = {
+    recoverCompact(targetPath)
     resolveLww(spark.read.parquet(targetPath)).drop(SeqCol)
+  }
+
+  /** Auto-recovery for `compactTarget`'s crash window: a crash between its
+    * two directory moves leaves the target ABSENT with the full data (and
+    * seq counter) preserved in `.__compact_old` — roll it back. A crash
+    * after the second move but before cleanup leaves BOTH present, with
+    * the live target already the compacted copy — the leftover old dir is
+    * superseded garbage, removed here. Every read/ingest entry point calls
+    * this, so the window heals on the next touch instead of requiring the
+    * manual rename the round-5 comment documented.
+    */
+  private[ingest] def recoverCompact(targetPath: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(targetPath)
+    val old = Paths.get(targetPath + ".__compact_old")
+    if (Files.exists(old)) {
+      if (!Files.exists(dir))
+        Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE) // roll back move 1
+      else // swap completed; old is superseded — finish the cleanup
+        Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    // a dead .__compact_tmp (crash before move 1) is inert: the next
+    // compaction overwrites it
+  }
 
   /** Compaction-time LWW: physically rewrite the target to one row per id
     * (keeping the seq column so later appends still resolve), preserving
@@ -84,6 +148,7 @@ object FileIngest {
     */
   def compactTarget(spark: SparkSession, targetPath: String): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    recoverCompact(targetPath)
     val resolved = resolveLww(spark.read.parquet(targetPath))
     val tmp = targetPath + ".__compact_tmp"
     resolved.write.mode("overwrite").parquet(tmp)
@@ -94,14 +159,20 @@ object FileIngest {
     // crash point leaves the counter either in the live dir or in the
     // preserved .__compact_old — it can never be lost, which matters
     // because a reset counter would hand out LOW seq values and invert
-    // LWW for every future write. Remaining window: a crash between the
-    // two directory moves leaves the target absent with the full data in
-    // .__compact_old — recovery is renaming it back (documented, not
-    // silent corruption).
-    val seqFile = dir.resolve("_graft_seq")
-    if (Files.exists(seqFile)) {
+    // LWW for every future write. A crash between the two directory moves
+    // leaves the target absent with the full data in .__compact_old —
+    // `recoverCompact` (called by every read/ingest entry point) rolls it
+    // back automatically on the next touch.
+    // the live value is max(counter, reservation tmp) — a crashed
+    // reservation may have advanced only the tmp (see reserveSeqRange)
+    def readSeq(p: java.nio.file.Path): Long =
+      if (!Files.exists(p)) 0L
+      else try Files.readString(p).trim.toLong catch { case _: Exception => 0L }
+    val cur = math.max(readSeq(dir.resolve("_graft_seq")),
+      readSeq(dir.resolve("_graft_seq.tmp")))
+    if (cur > 0L) {
       val t = Paths.get(tmp).resolve("_graft_seq.tmp")
-      Files.writeString(t, Files.readString(seqFile))
+      Files.writeString(t, cur.toString)
       Files.move(t, Paths.get(tmp).resolve("_graft_seq"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
@@ -198,6 +269,7 @@ object FileIngest {
       resume: Boolean = false): IngestSummary = {
     import spark.implicits._
 
+    recoverCompact(targetPath)
     val done: Set[String] =
       if (resume && Fs.exists(ledgerPath))
         spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet
@@ -229,12 +301,12 @@ object FileIngest {
             else coerced
           val n = deduped.count()
           val stamped = deduped.withColumn(SeqCol, lit(seqBase + fi))
-          Retry("target")(stamped.write.mode("append").parquet(targetPath))
+          StagedAppend(stamped, targetPath, "target")
           // quarantine the failed RECORDS (content + error metadata,
           // 230 KB-chunked), not a count row — a user debugging a bad
           // batch needs the documents back (file_processor.py:263-413)
           val bad = failedRecs.count()
-          if (bad > 0) Retry("dlq")(Dlq.writeRecords(failedRecs, dlqPath))
+          if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
           cacheHandle.foreach(_.unpersist(blocking = false))
           Retry("ledger")(Seq(f).toDF("file").write.mode("append").parquet(ledgerPath))
           processed += n
@@ -306,6 +378,7 @@ object FileIngest {
     import org.apache.spark.sql.types.{StringType, StructType}
     import spark.implicits._
 
+    recoverCompact(targetPath)
     val done: Set[String] =
       if (resume && Fs.exists(ledgerPath))
         spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet
@@ -375,9 +448,9 @@ object FileIngest {
           else coerced
         val n = deduped.count()
         val stamped = deduped.withColumn(SeqCol, lit(seqOf(f)))
-        Retry("target")(stamped.write.mode("append").parquet(targetPath))
+        StagedAppend(stamped, targetPath, "target")
         val bad = failedRecs.count()
-        if (bad > 0) Retry("dlq")(Dlq.writeRecords(failedRecs, dlqPath))
+        if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
         cacheHandle.foreach(_.unpersist(blocking = false))
         ledgerWrite(Seq(f))
         processed += n
@@ -426,7 +499,7 @@ object FileIngest {
                 col(Corrupt).cast(StringType).as("docJson"),
                 lit("parse_error").as("errorType"),
                 lit(s"malformed $kind row").as("errorReason"))
-              Retry("dlq")(Dlq.writeRecords(failedRecs, dlqPath))
+              Dlq.writeRecords(failedRecs, dlqPath)
             }
             val good =
               (if (hasCorrupt) cached.filter(col(Corrupt).isNull).drop(Corrupt) else cached)
@@ -469,8 +542,7 @@ object FileIngest {
                 s"unmapped ingest path spelling(s): ${unmapped.take(3).mkString(", ")}")
               val stamped = dedupedP.withColumn(SeqCol,
                 element_at(typedlit(normSeq), col("__file")))
-              Retry("target")(
-                stamped.drop("__file").write.mode("append").parquet(targetPath))
+              StagedAppend(stamped.drop("__file"), targetPath, "target")
               val writtenPerFile = dedupedP.groupBy("__file").agg(count(lit(1)).as("n"))
                 .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
               paths.foreach { p =>

@@ -323,7 +323,7 @@ object Dlq {
   def writeRecords(failed: DataFrame, path: String, maxBytes: Int = MaxPayloadBytes): Unit = {
     val spark = failed.sparkSession
     import spark.implicits._
-    failed.select("sourceFile", "docJson", "errorType", "errorReason")
+    val rows = failed.select("sourceFile", "docJson", "errorType", "errorReason")
       .as[(String, String, String, String)]
       .flatMap { case (src, doc, et, er) =>
         chunk(Option(doc).getOrElse(""), maxBytes).map { case (p, t, payload) =>
@@ -331,7 +331,9 @@ object Dlq {
         }
       }
       .toDF("sourceFile", "docJson", "part", "totalParts", "errorType", "errorReason")
-      .write.mode("append").parquet(path)
+    // staged: a retried attempt must not duplicate quarantined records
+    // (there is no id column here for LWW to repair)
+    StagedAppend(rows, path, "dlq")
   }
 }
 

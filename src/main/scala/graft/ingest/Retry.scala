@@ -7,12 +7,12 @@ package graft.ingest
   * DRIVER-side ledger/DLQ/target writes, where a transient FS hiccup would
   * otherwise fail the whole file/group.
   *
-  * Safety: retrying a Spark parquet append is duplicate-free at the job
-  * level (FileOutputCommitter v1 publishes output only in commitJob, so a
-  * failed attempt leaves nothing visible), and for id-keyed targets even a
-  * partially-committed attempt resolves away under the seq-stamped LWW
-  * view (`FileIngest.resolveLww`) — the same property that makes the
-  * reference's `_id` bulk retries idempotent.
+  * Safety: row-bearing appends (target, DLQ) go through `StagedAppend`,
+  * so a retried attempt can never duplicate rows even if the failed
+  * attempt partially committed (commitJob publishes task files one by
+  * one — a mid-commit failure leaves some visible). Ledger appends retry
+  * the plain append: the ledger is read as a SET of file names, so a
+  * duplicated row is harmless by construction.
   */
 object Retry {
 
@@ -73,5 +73,91 @@ object Fs {
     val in = p.getFileSystem(conf).open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).mkdirs(p)
+    ()
+  }
+
+  def delete(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  def rename(src: String, dst: String): Boolean = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    s.getFileSystem(conf).rename(s, new org.apache.hadoop.fs.Path(dst))
+  }
+
+  def modTimeMs(path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try Some(p.getFileSystem(conf).getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Create-fail exclusive file creation (`create(overwrite = false)` —
+    * atomic on local and HDFS; object stores without conditional create
+    * weaken this to best-effort, same caveat as every Hadoop lock file).
+    * Returns false when the path already exists.
+    */
+  def createExclusive(path: String, content: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    try {
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case e: java.io.IOException => if (fs.exists(p)) false else throw e
+    }
+  }
+
+  /** Immediate children's names of a directory (empty if missing). */
+  def childNames(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  def deleteRecursive(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, true)
+  }
+}
+
+/** Retry-safe parquet append: `mode("append")` + `Retry` can duplicate
+  * rows when a failed attempt PARTIALLY commits (failure partway through
+  * commitJob publishes some task files; the retry then appends everything
+  * again) — LWW repairs only id-keyed targets, and a count check cannot
+  * see it. Here each attempt writes to a fresh STAGING directory beside
+  * the target (same filesystem, so publish is rename); only a
+  * fully-committed attempt publishes, by moving its part files into the
+  * target. A failed attempt leaves nothing visible, so the retry is
+  * duplication-free for ANY schema. Part names carry the write's job UUID
+  * (never collide with existing target files); a crashed publish leaves
+  * an inert `.__stage-*` sibling (never read — stages are outside the
+  * target directory) plus at worst a partial append, the same exposure as
+  * a crashed plain append.
+  */
+object StagedAppend {
+  def apply(df: org.apache.spark.sql.DataFrame, targetPath: String, label: String): Unit = {
+    val stage = targetPath.stripSuffix("/") +
+      s".__stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      Retry(label)(df.write.mode("overwrite").parquet(stage))
+      Fs.mkdirs(targetPath)
+      Fs.childNames(stage)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .foreach { n =>
+          require(Fs.rename(s"$stage/$n", s"${targetPath.stripSuffix("/")}/$n"),
+            s"publish rename failed for $stage/$n")
+        }
+    } finally {
+      try Fs.deleteRecursive(stage) catch { case _: Exception => () }
+    }
   }
 }

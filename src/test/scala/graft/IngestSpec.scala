@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
@@ -481,9 +482,102 @@ class IngestSpec extends AnyFunSuite {
       val s2 = FileIngest.ingest(spark, Seq(f1), s"$dir/t3", s"$dir/l3", s"$dir/d3")
       assert(s2.files.head.status.startsWith("failed"))
       assert(s2.processedRows == 0)
+      // staged append: the failed attempts left NOTHING visible in the
+      // target (no partially-committed rows a retry could double) and no
+      // stage residue beside it
+      val t3 = java.nio.file.Paths.get(s"$dir/t3")
+      if (Files.exists(t3))
+        assert(!Files.list(t3).iterator().asScala.exists(_.getFileName.toString
+          .startsWith("part-")), "failed append leaked part files into the target")
+      assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .exists(_.getFileName.toString.contains(".__stage-")),
+        "failed append leaked a stage directory")
     } finally {
       Retry.injectFault = null
       sys.props.remove("graft.ingest.retryBaseMs")
     }
+  }
+
+  test("compactTarget crash window auto-recovers: target rolls back with data AND seq counter") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-compactrec-").toString
+    def csv(p: String, rows: String): String = {
+      Files.writeString(Paths.get(p), rows); p
+    }
+    val t = s"$dir/t"
+    FileIngest.ingest(spark, Seq(csv(s"$dir/a.csv", "id,name\n1,alice\n2,bob\n")),
+      t, s"$dir/l", s"$dir/d")
+    FileIngest.ingest(spark, Seq(csv(s"$dir/b.csv", "id,name\n1,alice-v2\n")),
+      t, s"$dir/l", s"$dir/d")
+    assert(spark.read.parquet(t).count() == 3) // physical dup of id 1
+
+    // simulate compactTarget crashing between its two moves: move 1 only —
+    // the target is absent, everything lives in .__compact_old
+    Files.move(Paths.get(t), Paths.get(t + ".__compact_old"), StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.exists(Paths.get(t)))
+
+    // the next read heals the window: full data back, LWW intact
+    val rows = FileIngest.readResolved(spark, t).select("id", "name")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(rows == Set((1.0, "alice-v2"), (2.0, "bob")))
+    assert(!Files.exists(Paths.get(t + ".__compact_old")))
+    // the seq counter came back with the data — the next write still wins
+    assert(Files.readString(Paths.get(s"$t/_graft_seq")).trim.toLong == 2L)
+    FileIngest.ingest(spark, Seq(csv(s"$dir/c.csv", "id,name\n1,alice-v3\n")),
+      t, s"$dir/l", s"$dir/d")
+    assert(FileIngest.readResolved(spark, t).filter(col("id") === 1.0)
+      .head().getAs[String]("name") == "alice-v3")
+
+    // the OTHER crash point — swap done, cleanup not — heals too
+    val junk = Paths.get(t + ".__compact_old")
+    Files.createDirectories(junk)
+    Files.writeString(junk.resolve("leftover.parquet"), "junk")
+    val n = FileIngest.compactTarget(spark, t)
+    assert(n == 2L && !Files.exists(junk))
+    assert(FileIngest.readResolved(spark, t).count() == 2)
+  }
+
+  test("seq counter single-writer: a held lock aborts loudly; concurrent ingests never interleave sequence values") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-seqlock-").toString
+    def csv(p: String, rows: String): String = { Files.writeString(Paths.get(p), rows); p }
+    val t = s"$dir/t"
+    Files.createDirectories(Paths.get(t))
+
+    // a FRESH lock held by another driver → this driver must abort loudly,
+    // before anything is written
+    Files.writeString(Paths.get(s"$t/_graft_seq.lock"), "other-driver")
+    sys.props("graft.ingest.seqLockTimeoutMs") = "300"
+    try {
+      val e = intercept[IllegalStateException] {
+        FileIngest.ingest(spark, Seq(csv(s"$dir/a.csv", "id,name\n1,a\n")),
+          t, s"$dir/l", s"$dir/d")
+      }
+      assert(e.getMessage.contains("single-writer"))
+      assert(!Files.exists(Paths.get(s"$t/_graft_seq"))) // nothing advanced
+    } finally sys.props.remove("graft.ingest.seqLockTimeoutMs")
+
+    // a STALE lock (crashed owner) breaks after the stale window
+    sys.props("graft.ingest.seqLockStaleMs") = "1"
+    try {
+      Thread.sleep(5)
+      val s = FileIngest.ingest(spark, Seq(csv(s"$dir/b.csv", "id,name\n2,b\n")),
+        t, s"$dir/l", s"$dir/d")
+      assert(s.processedRows == 1 && s.verified)
+    } finally sys.props.remove("graft.ingest.seqLockStaleMs")
+
+    // two CONCURRENT ingest drivers: the lock serializes reservation, so
+    // the stamped __seq values are disjoint across drivers — LWW stays
+    // unambiguous (the round-5 read-advance-rename lost reservations here)
+    val fs = (0 until 2).map(i => csv(s"$dir/c$i.csv", s"id,name\n${10 + i},c$i\n"))
+    val threads = fs.map(f => new Thread(() => {
+      FileIngest.ingest(spark, Seq(f), t, s"$dir/l", s"$dir/d"); ()
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val seqs = spark.read.parquet(t).select("__seq").collect().map(_.getLong(0)).toSeq
+    assert(seqs.distinct.size == seqs.size,
+      s"concurrent drivers stamped overlapping sequence values: $seqs")
+    // counter = 3 reservations of 1 (the lock-abort attempt advanced nothing)
+    assert(Files.readString(Paths.get(s"$t/_graft_seq")).trim.toLong == 3L)
   }
 }
