@@ -123,11 +123,12 @@ object ServingLayout {
   * swapping the in-memory index atomically. Queries in flight keep the
   * index they started on and new queries see the refreshed one: the
   * zero-downtime refresh the reference gets from OpenSearch's
-  * per-segment reader reopen. Refresh cost is a full re-open (the slice
-  * files are immutable, so the merged/compacted layout is what gets
-  * loaded); call `refresh()` from ONE scheduler thread at the freshness
-  * interval the deployment wants (queries are thread-safe against the
-  * published index; `refresh` itself is single-caller).
+  * per-segment reader reopen. Refresh cost is INCREMENTAL — slice files
+  * are immutable, so unchanged slices keep their cached payloads and
+  * decoded blocks, and a tick reloads only the slice delta. Call
+  * `refresh()` from ONE scheduler thread at the freshness interval the
+  * deployment wants (queries are thread-safe against the published
+  * index; `refresh` itself is single-caller).
   */
 final class ServingNode(
     spark: SparkSession,
@@ -142,9 +143,35 @@ final class ServingNode(
     * proportional to the SLICE DELTA, not the index: under the tiered
     * merge policy the big base slice is rarely rewritten, so a
     * micro-batch append reloads (and re-decodes) only kilobytes.
+    *
+    * The GLOBAL side state is delta-cached too: per-slice term partials
+    * (df is additive across slices — they partition documents), per-slice
+    * doc counts/token sums (derived from the already-loaded norms, zero
+    * extra reads), and per-slice doc metas. The round-5 node re-scanned
+    * the full terms and docs tables on every tick — at 1000× index/append
+    * ratio those two full scans, not the slice delta, would have been the
+    * refresh cost.
     */
   private val sliceBlocks = scala.collection.mutable.Map.empty[Int, Array[PostingBlock]]
   private val sliceNorms = scala.collection.mutable.Map.empty[Int, Array[SegNorms]]
+  private val sliceTerms = scala.collection.mutable.Map.empty[Int, Array[TermStat]]
+  private val sliceCounts = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+  private val sliceDocMetas = scala.collection.mutable.Map.empty[Int, Array[DocMeta]]
+
+  /** (nDocs, totalTokens) of a slice from its norms payload — doclens are
+    * the exact per-doc token counts scoring uses, so the merged avgdl is
+    * bit-identical to `IndexStats.fromDocs` over the same snapshot.
+    */
+  private def countsOf(norms: Array[SegNorms]): (Long, Long) = {
+    var n = 0L
+    var tok = 0L
+    norms.foreach { nm =>
+      n += nm.n
+      var i = 0
+      while (i < nm.n) { tok += VByte.unpackIntAt(nm.doclens, i); i += 1 }
+    }
+    (n, tok)
+  }
 
   /** Refresh observability: slices loaded / dropped and decoded blocks
     * reused on the last (re)open.
@@ -169,39 +196,60 @@ final class ServingNode(
     val dropped = sliceBlocks.keySet.toSet -- ids
     // EVERY read happens first — per-slice payloads AND the small global
     // tables; caches and observability counters mutate only after all of
-    // them succeeded. A failure mid-load (transient FS error, or a
-    // concurrent merge deleting a superseded slice's files) leaves the
-    // node's state — caches and counters both — exactly as it was.
+    // them succeeded. A failure mid-load (transient FS error, or — only
+    // if the deployment's vacuum grace window is shorter than a refresh —
+    // a reclaimed superseded slice) leaves the node's state — caches and
+    // counters both — exactly as it was. Merges themselves never delete
+    // files anymore: superseded slices sit on the manifest dead-list
+    // until `IndexStore.vacuum`'s grace window passes.
+    // delta-only reads: per NEW slice — postings, norms, term partials,
+    // and (withDocs) doc metas. The global df map, corpus stats, and doc
+    // store then MERGE from the per-slice caches in memory: a refresh
+    // runs ZERO full-index scans, so tick cost tracks the slice delta
+    // even when the index is 1000× the append.
     val loaded = newIds.map { id =>
       (id,
         spark.read.parquet(store.slicePath("postings", id)).as[PostingBlock].collect(),
-        spark.read.parquet(store.slicePath("norms", id)).as[SegNorms].collect())
+        spark.read.parquet(store.slicePath("norms", id)).as[SegNorms].collect(),
+        spark.read.parquet(store.slicePath("terms", id)).as[TermStat].collect(),
+        if (withDocs)
+          spark.read.parquet(store.slicePath("docs", id))
+            .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+            .as[DocMeta].collect()
+        else null)
     }
-    // global term stats + corpus stats: small, recollected every refresh
-    // (direct parquet reads over THIS snapshot's paths — no re-read of
-    // the manifest, no session-cached datasets to leak across refreshes)
-    val df = new java.util.HashMap[String, Long]()
-    spark.read.parquet(slices.map(s => store.slicePath("terms", s.sliceId)): _*)
-      .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
-      .collect().foreach(r => df.put(r.getString(0), r.getLong(1)))
-    val docsDf = spark.read.parquet(slices.map(s => store.slicePath("docs", s.sliceId)): _*)
-    val stats = IndexStats.fromDocs(docsDf, df.size().toLong)
-    val docMetas =
-      if (withDocs)
-        docsDf
-          .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
-          .as[DocMeta].collect()
-      else null
 
-    loaded.foreach { case (id, b, n) => sliceBlocks(id) = b; sliceNorms(id) = n }
-    dropped.foreach { id => sliceBlocks.remove(id); sliceNorms.remove(id) }
+    loaded.foreach { case (id, b, n, t, dm) =>
+      sliceBlocks(id) = b; sliceNorms(id) = n; sliceTerms(id) = t
+      sliceCounts(id) = countsOf(n)
+      if (withDocs) sliceDocMetas(id) = dm
+    }
+    dropped.foreach { id =>
+      sliceBlocks.remove(id); sliceNorms.remove(id); sliceTerms.remove(id)
+      sliceCounts.remove(id); sliceDocMetas.remove(id)
+    }
     lastLoadedSlices = newIds.size
     lastDroppedSlices = dropped.size
-    val blocks = ids.toSeq.sorted.iterator.flatMap(sliceBlocks(_)).toArray
-    val norms = Serving.normsMapOf(ids.toSeq.sorted.iterator.flatMap(sliceNorms(_)).toArray)
+    val sortedIds = ids.toSeq.sorted
+    val blocks = sortedIds.iterator.flatMap(sliceBlocks(_)).toArray
+    val norms = Serving.normsMapOf(sortedIds.iterator.flatMap(sliceNorms(_)).toArray)
+    // df partials are additive (slices partition documents); the merged
+    // sum over longs equals the round-5 groupBy-sum exactly
+    val df = new java.util.HashMap[String, Long]()
+    sortedIds.foreach(id =>
+      sliceTerms(id).foreach(t => df.put(t.term, df.get(t.term) + t.df)))
+    var nDocs = 0L
+    var totTokens = 0L
+    sortedIds.foreach { id =>
+      val (a, b) = sliceCounts(id); nDocs += a; totTokens += b
+    }
+    // same arithmetic as IndexStats.fromDocs over this snapshot's docs
+    val stats = IndexStats(nDocs,
+      if (nDocs == 0) 0.0 else totTokens.toDouble / nDocs, df.size().toLong, totTokens)
     val si = Serving.assemble(blocks, norms, df, stats, maxBytes, prevDecoded)
     lastReusedDecodes = si.reusedDecodes
-    if (withDocs) si.loadDocs(docMetas)
+    if (withDocs)
+      si.loadDocs(sortedIds.iterator.flatMap(sliceDocMetas(_)).toArray)
     (slices, si)
   }
 
@@ -234,9 +282,9 @@ final class ServingNode(
         lastRefreshError = None
         true
       } catch {
-        // transient load failure — including a concurrent merge deleting
-        // a superseded slice's files between our manifest snapshot and
-        // the parquet reads: keep serving the current index, surface the
+        // transient load failure (FS hiccup; or a vacuum racing this
+        // refresh when the grace window is misconfigured below the
+        // refresh interval): keep serving the current index, surface the
         // error, and let the next tick snapshot the post-merge manifest
         // and retry cleanly. NonFatal only: interrupts and fatal JVM
         // errors propagate.

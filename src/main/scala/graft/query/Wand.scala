@@ -119,6 +119,15 @@ object Wand {
       k: Int,
       decode: PostingBlock => (Array[Long], Array[Long])): Array[(Long, Double)] = {
 
+    // `cursors` stays term-sorted for the deterministic score fold; `arr`
+    // is the same cursors maintained in docId order IN PLACE — the serving
+    // hot loop at mt16 runs thousands of pivot steps per query, and the
+    // round-5 per-step `active.sortBy(_.docId)` allocated a fresh buffer
+    // (plus boxing) on every one of them, which was GC tail latency. An
+    // insertion-sort repair over a reusable array is the standard WAND
+    // cursor structure: between steps the array is nearly sorted (only
+    // advanced cursors moved), so the repair is O(moved · span), zero
+    // allocation.
     val cursors: Array[TermPostings] = blocks
       .groupBy(_.term)
       .toArray
@@ -126,84 +135,96 @@ object Wand {
       .map { case (term, bs) => new TermPostings(term, idfs(term), bs, avgdl, decode) }
 
     val heap = new TopKHeap(k)
-    val active = scala.collection.mutable.ArrayBuffer.empty[TermPostings]
-    cursors.foreach(c => if (!c.isExhausted) active += c)
+    val arr = new Array[TermPostings](cursors.length)
+    var n = 0
+    cursors.foreach { c => if (!c.isExhausted) { arr(n) = c; n += 1 } }
 
-    val contribs = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-
-    while (active.nonEmpty) {
-      // sort cursors by current docId (few query terms: insertion-cheap)
-      val sorted = active.sortBy(_.docId)
-      // find pivot: first prefix whose Σ maxScore exceeds threshold
-      val theta = heap.threshold
-      var ubSum = 0.0
-      var pivotIdx = -1
-      var i = 0
-      while (i < sorted.length && pivotIdx < 0) {
-        ubSum += sorted(i).maxScore
-        if (ubSum > theta - Eps || !heap.isFull) pivotIdx = i
-        i += 1
-      }
-      if (pivotIdx < 0) {
-        // no prefix can beat the threshold — done with this segment
-        active.clear()
-      } else {
-        val pivotDoc = sorted(pivotIdx).docId
-        if (sorted(0).docId == pivotDoc) {
-          // block-max refinement: tighter bound from current blocks only
-          var bmSum = 0.0
-          var j = 0
-          while (j <= pivotIdx) { bmSum += sorted(j).blockMaxScore; j += 1 }
-          // include following cursors whose current doc == pivot
-          var j2 = pivotIdx + 1
-          while (j2 < sorted.length && sorted(j2).docId == pivotDoc) {
-            bmSum += sorted(j2).blockMaxScore; j2 += 1
-          }
-          if (heap.isFull && bmSum <= heap.threshold - Eps) {
-            // current blocks can't produce a winner: skip past the nearest
-            // block boundary among the involved cursors — but never past
-            // the next cursor's docID (docs in between may still score
-            // via cursors outside the pivot group; BMW candidate rule)
-            var boundary = Long.MaxValue
-            var j3 = 0
-            while (j3 < j2) {
-              if (sorted(j3).blockLastDoc < boundary) boundary = sorted(j3).blockLastDoc
-              j3 += 1
-            }
-            var target = boundary + 1
-            if (j2 < sorted.length && sorted(j2).docId < target) target = sorted(j2).docId
-            if (target <= pivotDoc) target = pivotDoc + 1 // progress guard
-            var j4 = 0
-            while (j4 < j2) { sorted(j4).advanceTo(target); j4 += 1 }
-          } else {
-            // fully score pivotDoc: deterministic fold in term order
-            contribs.clear()
-            val dl = doclen(pivotDoc)
-            var j5 = 0
-            while (j5 < sorted.length && (j5 <= pivotIdx || sorted(j5).docId == pivotDoc)) {
-              val c = sorted(j5)
-              if (c.docId == pivotDoc) {
-                contribs += ((c.term, c.idf * BM25.tfNorm(c.tf, dl, avgdl)))
-              }
-              j5 += 1
-            }
-            val byTerm = contribs.sortBy(_._1)
-            var score = 0.0
-            byTerm.foreach { case (_, s) => score += s }
-            heap.offer(pivotDoc, score)
-            var j6 = 0
-            while (j6 < sorted.length && (j6 <= pivotIdx || sorted(j6).docId == pivotDoc)) {
-              if (sorted(j6).docId == pivotDoc) sorted(j6).next()
-              j6 += 1
-            }
-          }
-        } else {
-          // advance pre-pivot cursors to the pivot doc
-          var j7 = 0
-          while (j7 < pivotIdx) { sorted(j7).advanceTo(pivotDoc); j7 += 1 }
+    var live = n > 0
+    while (live) {
+      // drop newly exhausted cursors (order-preserving compaction), then
+      // repair the docId order in place
+      var w = 0
+      var r = 0
+      while (r < n) { if (!arr(r).isExhausted) { arr(w) = arr(r); w += 1 }; r += 1 }
+      n = w
+      if (n == 0) live = false
+      else {
+        var si = 1
+        while (si < n) {
+          val c = arr(si)
+          var sj = si - 1
+          while (sj >= 0 && arr(sj).docId > c.docId) { arr(sj + 1) = arr(sj); sj -= 1 }
+          arr(sj + 1) = c
+          si += 1
         }
-        active.clear()
-        cursors.foreach(c => if (!c.isExhausted) active += c)
+        // find pivot: first prefix whose Σ maxScore exceeds threshold
+        val theta = heap.threshold
+        var ubSum = 0.0
+        var pivotIdx = -1
+        var i = 0
+        while (i < n && pivotIdx < 0) {
+          ubSum += arr(i).maxScore
+          if (ubSum > theta - Eps || !heap.isFull) pivotIdx = i
+          i += 1
+        }
+        if (pivotIdx < 0) {
+          // no prefix can beat the threshold — done with this segment
+          live = false
+        } else {
+          val pivotDoc = arr(pivotIdx).docId
+          if (arr(0).docId == pivotDoc) {
+            // block-max refinement: tighter bound from current blocks only
+            var bmSum = 0.0
+            var j = 0
+            while (j <= pivotIdx) { bmSum += arr(j).blockMaxScore; j += 1 }
+            // include following cursors whose current doc == pivot
+            var j2 = pivotIdx + 1
+            while (j2 < n && arr(j2).docId == pivotDoc) {
+              bmSum += arr(j2).blockMaxScore; j2 += 1
+            }
+            if (heap.isFull && bmSum <= heap.threshold - Eps) {
+              // current blocks can't produce a winner: skip past the nearest
+              // block boundary among the involved cursors — but never past
+              // the next cursor's docID (docs in between may still score
+              // via cursors outside the pivot group; BMW candidate rule)
+              var boundary = Long.MaxValue
+              var j3 = 0
+              while (j3 < j2) {
+                if (arr(j3).blockLastDoc < boundary) boundary = arr(j3).blockLastDoc
+                j3 += 1
+              }
+              var target = boundary + 1
+              if (j2 < n && arr(j2).docId < target) target = arr(j2).docId
+              if (target <= pivotDoc) target = pivotDoc + 1 // progress guard
+              var j4 = 0
+              while (j4 < j2) { arr(j4).advanceTo(target); j4 += 1 }
+            } else {
+              // fully score pivotDoc: every cursor sitting on it contributes,
+              // folded over the term-sorted `cursors` array — the same
+              // ascending-term order the oracle folds in, bit-identical and
+              // with no per-doc contribution buffer
+              val dl = doclen(pivotDoc)
+              var score = 0.0
+              var ci = 0
+              while (ci < cursors.length) {
+                val c = cursors(ci)
+                if (!c.isExhausted && c.docId == pivotDoc)
+                  score += c.idf * BM25.tfNorm(c.tf, dl, avgdl)
+                ci += 1
+              }
+              heap.offer(pivotDoc, score)
+              var j6 = 0
+              while (j6 < n) {
+                if (arr(j6).docId == pivotDoc) arr(j6).next()
+                j6 += 1
+              }
+            }
+          } else {
+            // advance pre-pivot cursors to the pivot doc
+            var j7 = 0
+            while (j7 < pivotIdx) { arr(j7).advanceTo(pivotDoc); j7 += 1 }
+          }
+        }
       }
     }
     heap.result()
