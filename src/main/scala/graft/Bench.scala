@@ -154,106 +154,207 @@ object Bench {
         nq / sec
       } finally pool.shutdown()
     }
-    val qpsRuns = scala.collection.mutable.ArrayBuffer(qpsRun())
+    // ≥2 bound-clearing runs or a loud flag, same policy as phase 2c
+    // (the flag list is declared just below and shared by all phases)
+    val qpsRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val seqQps = 1000.0 / p50
-    while (qpsRuns.max < seqQps / 3.0 && qpsRuns.size < 4) qpsRuns += qpsRun()
-    // median of the runs that cleared the stall bound (see phase 2c note)
-    val qps = {
-      val ok = qpsRuns.filter(_ >= seqQps / 3.0).sorted
-      if (ok.nonEmpty) ok(ok.size / 2) else qpsRuns.max
-    }
+    while (qpsRuns.count(_ >= seqQps / 3.0) < 2 && qpsRuns.size < 5) qpsRuns += qpsRun()
+    val qpsOk = qpsRuns.filter(_ >= seqQps / 3.0).sorted
+    val (qps, qpsFlagged) =
+      if (qpsOk.size >= 2) (qpsOk(qpsOk.size / 2), false)
+      else (qpsRuns.sorted.apply(qpsRuns.size / 2), true)
 
     // ---- phase 2c: single-node serving tier (same segTopK kernel loaded
     // in memory, no Spark job per query — how a shard server would run),
     // plus the document-sharded cluster (4 shards + router k-merge) and
-    // the phrase path over the positional index. Corroborated like phase
-    // 2b: a measurement below its physical-absurdity bound (serving mt16
-    // under the single-thread rate; cluster4 under half the single-node
-    // mt16 of the same run) is the host's memory-bandwidth degradation
-    // band, so the mt measurements re-run until one clears the bound or
-    // retries are exhausted; shipped = median of the cleared runs, and
-    // every run ships in the details line. ----
+    // the phrase path over the positional index.
+    //
+    // Corroboration policy (round-6 tightening): EVERY headline number —
+    // single-thread rates included — carries a measured absurdity bound,
+    // and a shipped median requires ≥2 bound-clearing runs (a median of
+    // one is no median). Single-thread bound: a run's throughput below
+    // HALF its own p50-derived rate means stall outliers dominated the
+    // wall clock (p50 is robust to them) — host band, re-run. mt16
+    // bounds: the same run's single-thread rate (pre-decoded kernel, no
+    // shared state — 16 threads below 1 thread is physically absurd);
+    // cluster4's bound is its own MEASURED single-thread routed rate (the
+    // router/merge overhead baseline), not a /2 heuristic. If fewer than
+    // 2 runs clear after the retry cap, ship the median of ALL runs and
+    // flag the tag in `below_bound` — the retry rule must never select
+    // the headline, and a flagged number is honest about its band. ----
     val mtRunsLog = scala.collection.mutable.LinkedHashMap(
+      "serving_seq" -> scala.collection.mutable.ArrayBuffer.empty[Double],
       "serving_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double],
+      "cluster4_seq" -> scala.collection.mutable.ArrayBuffer.empty[Double],
       "cluster4_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double],
+      "phrase_seq" -> scala.collection.mutable.ArrayBuffer.empty[Double],
       "phrase_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double])
-    val (servingQps, servingQpsMt, clusterQpsMt, phraseQps, phraseQpsMt) = {
+    val belowBound = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (qpsFlagged) belowBound += "concurrent_qps"
+    def medianOf(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    // run until ≥2 runs clear their (per-run) bound or the cap hits;
+    // ship the median of the clearing runs — else the median of ALL runs,
+    // loudly flagged in `below_bound` (never the max: the retry rule must
+    // not select the headline)
+    def corroborate(tag: String, cap: Int)(run: () => (Double, Double)): Double = {
+      val log = mtRunsLog(tag)
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      while (pairs.count { case (v, b) => v >= b } < 2 && pairs.size < cap) {
+        val p = run()
+        pairs += p
+        log += p._1
+      }
+      val ok = pairs.collect { case (v, b) if v >= b => v }.toSeq
+      if (ok.size >= 2) medianOf(ok)
+      else { belowBound += tag; medianOf(pairs.map(_._1).toSeq) }
+    }
+    val (servingQps, servingQpsMt, clusterQps, clusterQpsMt, phraseQps, phraseQpsMt) = {
       val serving = graft.query.Serving.open(idx, maxBytes = 2L << 30)
       serving.topK(latQueries.head, 10) // warm
       val nq = 2000
-      val (_, sec1) = timed {
-        var i = 0
-        while (i < nq) { serving.topK(latQueries(i % latQueries.size), 10); i += 1 }
+      // sequential pass measuring BOTH throughput and per-query p50 — the
+      // p50-derived rate is the run's own stall-free bound
+      def seqRun(f: Int => Unit, n: Int): (Double, Double) = {
+        val lats = new Array[Double](n)
+        val (_, sec) = timed {
+          var i = 0
+          while (i < n) {
+            val t0 = System.nanoTime()
+            f(i)
+            lats(i) = (System.nanoTime() - t0) / 1e9
+            i += 1
+          }
+        }
+        java.util.Arrays.sort(lats)
+        (n / sec, 0.5 / lats(n / 2)) // (qps, half the p50-derived rate)
       }
-      val seqRate = nq / sec1
+      def corroboratedSeq(tag: String, f: Int => Unit, n: Int): Double =
+        corroborate(tag, cap = 5)(() => seqRun(f, n))
+      val seqRate = corroboratedSeq("serving_seq",
+        i => { serving.topK(latQueries(i % latQueries.size), 10); () }, nq)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      def mt16(f: Int => Unit): Double = {
+      def mt16(f: Int => Unit, n: Int): Double = {
         val (_, sec) = timed {
           Await.result(Future.sequence((0 until 16).map(t => Future {
             var i = 0
-            while (i < nq) { f(t + i); i += 1 }
+            while (i < n) { f(t + i); i += 1 }
           })), Duration.Inf)
         }
-        16.0 * nq / sec
+        16.0 * n / sec
       }
-      // Shipped number = MEDIAN of the runs that cleared the absurdity
-      // bound (not max-of-runs: the retry rule must not select the
-      // headline). Runs below the bound are host-stall artifacts — this
-      // VM's memory-bandwidth degradation band — and are excluded from
-      // the estimate but kept in the shipped series as evidence. If NO
-      // run clears the bound, ship the best we saw (still flagged by the
-      // series itself).
-      def shipOf(runs: Seq[Double], bound: Double): Double = {
-        val ok = runs.filter(_ >= bound).sorted
-        if (ok.nonEmpty) ok(ok.size / 2) else runs.max
-      }
-      def corroboratedMt(tag: String, bound: Double, f: Int => Unit): Double = {
-        val runs = mtRunsLog(tag)
-        runs += mt16(f)
-        while (runs.max < bound && runs.size < 3) runs += mt16(f)
-        shipOf(runs.toSeq, bound)
-      }
-      // pre-decoded serving at 16 threads below the 1-thread rate is
-      // physically absurd (no allocation, no shared state)
+      def corroboratedMt(tag: String, bound: Double, f: Int => Unit, n: Int): Double =
+        corroborate(tag, cap = 5)(() => (mt16(f, n), bound))
       val qpsMt = corroboratedMt("serving_mt16", seqRate,
-        i => serving.topK(latQueries(i % latQueries.size), 10))
+        i => { serving.topK(latQueries(i % latQueries.size), 10); () }, nq)
       val cluster = graft.query.Serving.openSharded(idx, nShards = 4,
         maxBytesPerShard = 2L << 30)
       cluster.topK(latQueries.head, 10) // warm
-      // disjoint shards can't run slower than HALF the single-node rate
-      // of the same run — a cluster4 number below that is a stall, re-run
-      val clMt = corroboratedMt("cluster4_mt16", math.max(seqRate, qpsMt / 2),
-        i => cluster.topK(latQueries(i % latQueries.size), 10))
+      // the cluster's own routed single-thread rate IS the measured
+      // router-overhead baseline — and the mt16 bound
+      val clSeq = corroboratedSeq("cluster4_seq",
+        i => { cluster.topK(latQueries(i % latQueries.size), 10); () }, nq)
+      val clMt = corroboratedMt("cluster4_mt16", clSeq,
+        i => { cluster.topK(latQueries(i % latQueries.size), 10); () }, nq)
       // phrase path: hot phrases serve from the decoded-positions cache
       val phrases = Seq("table hash", "merge group", "slow key")
       serving.phraseTopK(phrases.head, 10) // warm
       val np = 200
-      val (_, secP) = timed {
-        var i = 0
-        while (i < np) { serving.phraseTopK(phrases(i % phrases.size), 10); i += 1 }
-      }
-      val phraseSeq = np / secP
-      val phMt = {
-        val runs = mtRunsLog("phrase_mt16")
-        def run(): Double = {
-          val (_, sec) = timed {
-            Await.result(Future.sequence((0 until 16).map(t => Future {
-              var i = 0
-              while (i < np) { serving.phraseTopK(phrases((t + i) % phrases.size), 10); i += 1 }
-            })), Duration.Inf)
-          }
-          16.0 * np / sec
-        }
-        runs += run()
-        while (runs.max < phraseSeq && runs.size < 3) runs += run()
-        shipOf(runs.toSeq, phraseSeq)
-      }
+      val phraseSeq = corroboratedSeq("phrase_seq",
+        i => { serving.phraseTopK(phrases(i % phrases.size), 10); () }, np)
+      val phMt = corroboratedMt("phrase_mt16", phraseSeq,
+        i => { serving.phraseTopK(phrases(i % phrases.size), 10); () }, np)
       pool.shutdown()
-      (seqRate, qpsMt, clMt, phraseSeq, phMt)
+      (seqRate, qpsMt, clSeq, clMt, phraseSeq, phMt)
+    }
+
+    // ---- phase 2d: live-loop soak — sustained continuous indexing (the
+    // indexStream body, ≥50 micro-batches) with a ServingNode refreshing
+    // after every tick, tiered merges + grace-period vacuum running, and
+    // a concurrent query thread. Evidence for the two live claims: (a)
+    // refresh cost tracks the slice DELTA, not the index (refresh-tick
+    // latency + delta bytes reported); (b) queries during a refresh tick
+    // stay within the steady-state band (zero-downtime swap). ----
+    val live = {
+      import graft.index.IndexBuilder
+      import graft.streaming.StreamIngest
+      val liveDir = Files.createTempDirectory("graft-live-").toString
+      val store = new IndexStore(s"$liveDir/idx")
+      val nBatches = 50
+      val batchDocs = 1000
+      val corpus = Corpus.pages(spark, nBatches.toLong * batchDocs)
+        .withColumn("__n", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+        .cache()
+      corpus.count()
+      val cfg = IndexBuilder.Config(segSize = 1 << 12, blockSize = 128)
+      def batch(b: Int): Unit = {
+        val wave = corpus.filter(col("__n") >= b.toLong * batchDocs &&
+          col("__n") < (b + 1).toLong * batchDocs).drop("__n")
+        StreamIngest.processIndexBatch(spark, wave, b.toLong, store, cfg,
+          maxSlices = 8, vacuumGraceMs = 20000L)
+        ()
+      }
+      batch(0)
+      val node = new graft.query.ServingNode(spark, store, maxBytes = 2L << 30)
+      node.current.topK(latQueries.head, 10) // warm
+      @volatile var stopQ = false
+      val qLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      val qThread = new Thread(() => {
+        var i = 0
+        while (!stopQ) {
+          val t0 = System.nanoTime()
+          node.current.topK(latQueries(i % latQueries.size), 10)
+          val t1 = System.nanoTime()
+          qLog.add((t0, t1, (t1 - t0) / 1e6))
+          i += 1
+        }
+      })
+      qThread.start()
+      val refreshWin = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val refreshMs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val deltaKb = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var refreshErrors = 0
+      var vacuumedBytes = 0L
+      var prevIds = store.committedSlices.map(s => s.sliceId -> s.bytes).toMap
+      for (b <- 1 until nBatches) {
+        batch(b)
+        val nowSlices = store.committedSlices.map(s => s.sliceId -> s.bytes).toMap
+        deltaKb += (nowSlices -- prevIds.keys).values.sum / 1024.0
+        prevIds = nowSlices
+        val t0 = System.nanoTime()
+        node.refresh()
+        val t1 = System.nanoTime()
+        refreshWin += ((t0, t1))
+        refreshMs += (t1 - t0) / 1e6
+        if (node.lastRefreshError.nonEmpty) refreshErrors += 1
+        vacuumedBytes += store.vacuum(20000L)._2
+      }
+      stopQ = true
+      qThread.join()
+      vacuumedBytes += store.vacuum(0L)._2 // drain the dead-list at the end
+      corpus.unpersist()
+      val qs = qLog.iterator()
+      val steady = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val during = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (qs.hasNext) {
+        val (t0, t1, ms) = qs.next()
+        if (refreshWin.exists { case (a, b2) => t0 < b2 && t1 > a }) during += ms
+        else steady += ms
+      }
+      // pre-rendered compact JSON — the summary line must stay inside the
+      // driver's 2000-char tail capture (keys shortened deliberately:
+      // rf=refresh tick, q_p50 steady vs during-refresh, vac=vacuumed)
+      def c(v: Double): String =
+        if (v >= 1000) f"$v%.0f" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+      (s"""{"batches":$nBatches,"rf_p50_ms":${c(medianOf(refreshMs.toSeq))},""" +
+        s""""rf_max_ms":${c(refreshMs.max)},"delta_kb_p50":${c(medianOf(deltaKb.toSeq))},""" +
+        s""""q_p50_ms":${c(if (steady.nonEmpty) medianOf(steady.toSeq) else -1.0)},""" +
+        s""""q_p50_rf_ms":${c(if (during.nonEmpty) medianOf(during.toSeq) else -1.0)},""" +
+        s""""rf_err":$refreshErrors,"vac_mb":${c(vacuumedBytes / 1048576.0)}}""") ->
+        (refreshMs.toSeq, deltaKb.toSeq)
     }
     spark.stop()
 
@@ -321,21 +422,26 @@ object Bench {
     // shipped artifact truncated mid-JSON).
     val mtRunsJson = mtRunsLog.map { case (k, v) => s""""$k":${arr(v.toSeq)}""" }
       .mkString(",")
+    val (liveJson, (liveRefreshSeries, liveDeltaSeries)) = live
     val detail =
       s"""{"metric":"series","sf":"$sfDir","query_runs":$qRuns,""" +
         s""""concurrent_qps_runs":${arr(qpsRuns.toSeq)},$mtRunsJson,""" +
+        s""""live_refresh_ms":${arr(liveRefreshSeries)},"live_delta_kb":${arr(liveDeltaSeries)},""" +
         s""""build_runs_n":${arr(series(nCores).toSeq)},"build_runs_4n":${arr(series(n4Cores).toSeq)}}"""
     println(detail)
     try Files.write(java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Exception => () } // evidence file is best-effort
 
+    val flagsJson = belowBound.map(t => s""""$t"""").mkString("[", ",", "]")
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""query_latency_ms":{"p50":${cfmt(p50)},"p95":${cfmt(p95)},"concurrent_qps":${cfmt(qps)},""" +
         s""""serving_qps":${cfmt(servingQps)},"serving_qps_mt16":${cfmt(servingQpsMt)},""" +
-        s""""cluster4_qps_mt16":${cfmt(clusterQpsMt)},"serving_phrase_qps":${cfmt(phraseQps)},""" +
-        s""""serving_phrase_qps_mt16":${cfmt(phraseQpsMt)}},""" +
+        s""""cluster4_qps":${cfmt(clusterQps)},"cluster4_qps_mt16":${cfmt(clusterQpsMt)},""" +
+        s""""serving_phrase_qps":${cfmt(phraseQps)},""" +
+        s""""serving_phrase_qps_mt16":${cfmt(phraseQpsMt)}},"below_bound":$flagsJson,""" +
+        s""""live":$liveJson,""" +
         s""""index_build":{"bench_docs":$benchDocs,"cores_n":$nCores,"cores_4n":$n4Cores,""" +
         s""""docs_per_sec_n":${cfmt(dpsN)},"docs_per_sec_4n":${cfmt(dps4N)},""" +
         s""""docs_per_sec_local$cpus":${cfmt(dpsFull)},""" +
