@@ -11,9 +11,11 @@ import org.apache.spark.sql.types.StructType
   * here streaming covers the front of the pipeline AND, since round 4,
   * the index itself:
   *
-  *  - `docStream`: micro-batch document staging — coercion + append to the
-  *    staging table + per-batch ledger, via foreachBatch. Sliced index
-  *    builds then consume the staging table (resume skips built slices).
+  *  - `docStream`: micro-batch document staging — coercion + per-batch
+  *    partition writes to the staging table + ledger, via foreachBatch
+  *    (batch-keyed overwrite, so at-least-once replays converge). Sliced
+  *    index builds then consume the staging table (resume skips built
+  *    slices).
   *  - `indexStream`: CONTINUOUS INDEXING — each micro-batch lands in the
   *    committed index as a fresh-segment slice via `IndexBuilder.append`.
   *    Possible precisely because block-max metadata is the
@@ -29,6 +31,15 @@ object StreamIngest {
   /** Stream parquet files from `srcDir` into a staging table with
     * coercion and a per-batch ledger row. Returns the running query;
     * callers use `processAllAvailable()` for synchronous batch drains.
+    *
+    * Replay-idempotent: foreachBatch is at-least-once, so each batch
+    * lands in its OWN partition directory (`batch=<id>`) written with
+    * overwrite — a replayed batch rewrites the same directory instead of
+    * appending a duplicate (the indexStream replay guard's idea applied
+    * to a partitioned table; readers of the staging root see an extra
+    * `batch` partition column). The ledger row takes the same shape
+    * (`batch=<id>` + overwrite), so per-batch facts stay exactly-once
+    * under aggregation (`sum(rows)`), not just set semantics.
     */
   def docStream(
       spark: SparkSession,
@@ -36,8 +47,7 @@ object StreamIngest {
       schema: StructType,
       stagingPath: String,
       ledgerPath: String,
-      checkpoint: String): StreamingQuery = {
-    import spark.implicits._
+      checkpoint: String): StreamingQuery =
     spark.readStream
       .schema(schema)
       .parquet(srcDir)
@@ -45,16 +55,32 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val coerced = graft.ingest.Coerce.documents(batch)
-        val n = coerced.count()
-        if (n > 0) {
-          coerced.write.mode("append").parquet(stagingPath)
-          Seq((batchId, n)).toDF("batch_id", "rows")
-            .write.mode("append").parquet(ledgerPath)
-        }
+        processDocBatch(spark, batch, batchId, stagingPath, ledgerPath)
         ()
       }
       .start()
+
+  /** One micro-batch of staging ingest (the `docStream` body, callable
+    * directly for replay testing — same convention as
+    * `processIndexBatch`). Both writes are keyed by batchId and
+    * overwrite, so a replayed batch converges to the same staging and
+    * ledger state instead of duplicating rows.
+    */
+  def processDocBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      stagingPath: String,
+      ledgerPath: String): Long = {
+    import spark.implicits._
+    val coerced = graft.ingest.Coerce.documents(batch)
+    val n = coerced.count()
+    if (n > 0) {
+      coerced.write.mode("overwrite").parquet(s"$stagingPath/batch=$batchId")
+      Seq((batchId, n)).toDF("batch_id", "rows")
+        .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
+    }
+    n
   }
 
   /** Continuous indexing: stream documents (url, text, lang) straight into
