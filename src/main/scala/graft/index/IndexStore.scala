@@ -182,6 +182,11 @@ final class IndexStore(val root: String) {
     * sized to the deployment's longest query. Returns (slices reclaimed,
     * bytes reclaimed). Crash-safe: deletion happens BEFORE the dead-list
     * entry is dropped, so a crash in between re-deletes a no-op next time.
+    * Same single-writer model as merge/append: vacuum runs on the ONE
+    * maintenance thread (the streaming loop), so the dead-list rewrite
+    * here cannot race a merge commit — a second concurrent manifest
+    * writer could lose dead-list entries added between this method's
+    * re-read and its write.
     */
   def vacuum(minAgeMs: Long, nowMs: Long = System.currentTimeMillis()): (Int, Long) = {
     val ripe = deadSlices.filter { case (_, at) => nowMs - at >= minAgeMs }

@@ -84,9 +84,7 @@ object FileIngest {
       }
     }
     try {
-      def readLong(p: String): Long =
-        try Fs.readString(p).trim.toLong catch { case _: Exception => 0L }
-      val base = math.max(readLong(f), readLong(tmp))
+      val base = math.max(readSeqFile(f, lenient = false), readSeqFile(tmp, lenient = true))
       Fs.writeString(tmp, (base + n).toString)
       Fs.delete(f)
       Fs.rename(tmp, f)
@@ -126,34 +124,60 @@ object FileIngest {
     * manual rename the round-5 comment documented.
     */
   private[ingest] def recoverCompact(targetPath: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val dir = Paths.get(targetPath)
-    val old = Paths.get(targetPath + ".__compact_old")
-    if (Files.exists(old)) {
-      if (!Files.exists(dir))
-        Files.move(old, dir, StandardCopyOption.ATOMIC_MOVE) // roll back move 1
+    val dir = targetPath.stripSuffix("/")
+    val old = dir + ".__compact_old"
+    if (Fs.exists(old)) {
+      if (!Fs.exists(dir)) // roll back move 1
+        require(Fs.rename(old, dir), s"compact rollback rename failed: $old -> $dir")
       else // swap completed; old is superseded — finish the cleanup
-        Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.deleteRecursive(old)
     }
     // a dead .__compact_tmp (crash before move 1) is inert: the next
     // compaction overwrites it
   }
 
+  /** Counter-file read shared by reservation and compaction. The MAIN
+    * counter must parse or the ingest aborts loudly — silently treating a
+    * corrupt counter as 0 would hand out low seq values and invert LWW
+    * for every future write. The reservation TMP is different: the
+    * advance protocol (write tmp fully, then delete main, then rename)
+    * means a torn tmp can only exist while the main file still holds the
+    * authoritative value, so an unparseable tmp safely reads as 0.
+    */
+  private def readSeqFile(path: String, lenient: Boolean): Long =
+    if (!Fs.exists(path)) 0L
+    else
+      try Fs.readString(path).trim.toLong
+      catch {
+        case _: java.io.FileNotFoundException => 0L // raced delete
+        // NumberFormatException = unparseable bytes; ChecksumException =
+        // the local/checksum FS detected out-of-band modification — both
+        // are corruption of the authoritative counter
+        case e @ (_: NumberFormatException | _: org.apache.hadoop.fs.ChecksumException)
+            if !lenient =>
+          throw new IllegalStateException(
+            s"sequence counter $path is corrupt — refusing to reset to 0 " +
+              "(a reset would invert last-write-wins for every future write); " +
+              "restore it to the highest previously-issued value", e)
+        case _: NumberFormatException | _: org.apache.hadoop.fs.ChecksumException => 0L
+      }
+
   /** Compaction-time LWW: physically rewrite the target to one row per id
     * (keeping the seq column so later appends still resolve), preserving
     * the sequence counter. Maintenance op — the swap is not atomic for
     * concurrent readers (run it like `_forcemerge`, without readers).
-    * Returns the resolved row count.
+    * All moves go through the Hadoop FS layer (atomic directory rename on
+    * local/HDFS), so the swap — like the counter — stays WITH the data on
+    * hdfs:// targets instead of silently degrading to java.nio relative
+    * paths. Returns the resolved row count.
     */
   def compactTarget(spark: SparkSession, targetPath: String): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     recoverCompact(targetPath)
     val resolved = resolveLww(spark.read.parquet(targetPath))
-    val tmp = targetPath + ".__compact_tmp"
+    val dir = targetPath.stripSuffix("/")
+    val tmp = dir + ".__compact_tmp"
     resolved.write.mode("overwrite").parquet(tmp)
     val n = spark.read.parquet(tmp).count()
-    val dir = Paths.get(targetPath)
     // the sequence counter travels INSIDE the swapped directory (written
     // into tmp BEFORE any move, via its own tmp + atomic rename): every
     // crash point leaves the counter either in the live dir or in the
@@ -165,22 +189,18 @@ object FileIngest {
     // back automatically on the next touch.
     // the live value is max(counter, reservation tmp) — a crashed
     // reservation may have advanced only the tmp (see reserveSeqRange)
-    def readSeq(p: java.nio.file.Path): Long =
-      if (!Files.exists(p)) 0L
-      else try Files.readString(p).trim.toLong catch { case _: Exception => 0L }
-    val cur = math.max(readSeq(dir.resolve("_graft_seq")),
-      readSeq(dir.resolve("_graft_seq.tmp")))
+    val cur = math.max(readSeqFile(s"$dir/_graft_seq", lenient = false),
+      readSeqFile(s"$dir/_graft_seq.tmp", lenient = true))
     if (cur > 0L) {
-      val t = Paths.get(tmp).resolve("_graft_seq.tmp")
-      Files.writeString(t, cur.toString)
-      Files.move(t, Paths.get(tmp).resolve("_graft_seq"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      Fs.writeString(s"$tmp/_graft_seq.tmp", cur.toString)
+      Fs.delete(s"$tmp/_graft_seq")
+      require(Fs.rename(s"$tmp/_graft_seq.tmp", s"$tmp/_graft_seq"),
+        s"counter publish rename failed in $tmp")
     }
-    val old = Paths.get(targetPath + ".__compact_old")
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), dir, StandardCopyOption.ATOMIC_MOVE)
-    import scala.jdk.CollectionConverters._
-    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val old = dir + ".__compact_old"
+    require(Fs.rename(dir, old), s"compact swap rename failed: $dir -> $old")
+    require(Fs.rename(tmp, dir), s"compact swap rename failed: $tmp -> $dir")
+    Fs.deleteRecursive(old)
     n
   }
 

@@ -97,22 +97,40 @@ object Fs {
     catch { case _: java.io.FileNotFoundException => None }
   }
 
-  /** Create-fail exclusive file creation (`create(overwrite = false)` —
-    * atomic on local and HDFS; object stores without conditional create
-    * weaken this to best-effort, same caveat as every Hadoop lock file).
-    * Returns false when the path already exists.
+  /** Create-fail exclusive file creation. Returns false when the path
+    * already exists. Scheme-aware because the atomicity primitive
+    * differs: on HDFS `create(overwrite = false)` is enforced by the
+    * namenode, but Hadoop's LOCAL filesystem implements it as a
+    * check-then-create — two drivers can both pass the existence check
+    * and both believe they hold the lock (observed as interleaved seq
+    * reservations in the two-driver test). Local paths therefore go
+    * through the kernel's O_CREAT|O_EXCL via `Files.createFile`. Object
+    * stores without conditional create remain best-effort, the same
+    * caveat as every Hadoop lock file.
     */
   def createExclusive(path: String, content: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    try {
-      val out = fs.create(p, false)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case e: java.io.IOException => if (fs.exists(p)) false else throw e
-    }
+    val scheme = Option(p.toUri.getScheme).getOrElse(fs.getUri.getScheme)
+    if (scheme == null || scheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath match {
+        case null | "" => path.stripPrefix("file:")
+        case s         => s
+      })
+      try {
+        java.nio.file.Files.createFile(local) // O_EXCL — atomic create-fail
+        java.nio.file.Files.writeString(local, content)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
   }
 
   /** Immediate children's names of a directory (empty if missing). */

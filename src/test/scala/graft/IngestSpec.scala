@@ -566,10 +566,12 @@ class IngestSpec extends AnyFunSuite {
       assert(s.processedRows == 1 && s.verified)
     } finally sys.props.remove("graft.ingest.seqLockStaleMs")
 
-    // two CONCURRENT ingest drivers: the lock serializes reservation, so
-    // the stamped __seq values are disjoint across drivers — LWW stays
-    // unambiguous (the round-5 read-advance-rename lost reservations here)
-    val fs = (0 until 2).map(i => csv(s"$dir/c$i.csv", s"id,name\n${10 + i},c$i\n"))
+    // CONCURRENT ingest drivers: the lock serializes reservation, so the
+    // stamped __seq values are disjoint across drivers — LWW stays
+    // unambiguous (the round-5 read-advance-rename lost reservations
+    // here, and Hadoop's local check-then-create lock let two drivers in
+    // simultaneously until the O_EXCL fix; 8 drivers hit that reliably)
+    val fs = (0 until 8).map(i => csv(s"$dir/c$i.csv", s"id,name\n${10 + i},c$i\n"))
     val threads = fs.map(f => new Thread(() => {
       FileIngest.ingest(spark, Seq(f), t, s"$dir/l", s"$dir/d"); ()
     }))
@@ -577,7 +579,36 @@ class IngestSpec extends AnyFunSuite {
     val seqs = spark.read.parquet(t).select("__seq").collect().map(_.getLong(0)).toSeq
     assert(seqs.distinct.size == seqs.size,
       s"concurrent drivers stamped overlapping sequence values: $seqs")
-    // counter = 3 reservations of 1 (the lock-abort attempt advanced nothing)
-    assert(Files.readString(Paths.get(s"$t/_graft_seq")).trim.toLong == 3L)
+    // counter = 9 reservations of 1 (the lock-abort attempt advanced nothing)
+    assert(Files.readString(Paths.get(s"$t/_graft_seq")).trim.toLong == 9L)
+  }
+
+  test("corrupt seq counter aborts loudly; a torn reservation tmp is safe by protocol") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-seqcorrupt-").toString
+    def csv(p: String, rows: String): String = { Files.writeString(Paths.get(p), rows); p }
+    val t = s"$dir/t"
+    FileIngest.ingest(spark, Seq(csv(s"$dir/a.csv", "id,name\n1,a\n")),
+      t, s"$dir/l", s"$dir/d")
+    // the MAIN counter unparseable = real corruption: silently reading 0
+    // would hand out low seq values and invert LWW — must abort loudly
+    Files.writeString(Paths.get(s"$t/_graft_seq"), "not-a-number")
+    val e = intercept[IllegalStateException] {
+      FileIngest.ingest(spark, Seq(csv(s"$dir/b.csv", "id,name\n2,b\n")),
+        t, s"$dir/l", s"$dir/d")
+    }
+    assert(e.getMessage.contains("corrupt"))
+    assert(!Files.exists(Paths.get(s"$t/_graft_seq.lock"))) // lock released on abort
+    // a torn TMP is the one unparseable state a crash can legitimately
+    // produce (main survives until tmp is fully written) — reads as 0,
+    // ingest proceeds from main. Restore main through the Fs layer (keeps
+    // the local-FS checksum sidecar consistent — a java.nio rewrite would
+    // read as ChecksumException corruption, which is the strict case above)
+    graft.ingest.Fs.writeString(s"$t/_graft_seq", "1")
+    graft.ingest.Fs.writeString(s"$t/_graft_seq.tmp", "")
+    val s2 = FileIngest.ingest(spark, Seq(csv(s"$dir/c.csv", "id,name\n3,c\n")),
+      t, s"$dir/l", s"$dir/d")
+    assert(s2.processedRows == 1)
+    assert(Files.readString(Paths.get(s"$t/_graft_seq")).trim.toLong == 2L)
   }
 }
