@@ -293,8 +293,12 @@ object Bench {
       def batch(b: Int): Unit = {
         val wave = corpus.filter(col("__n") >= b.toLong * batchDocs &&
           col("__n") < (b + 1).toLong * batchDocs).drop("__n")
+        // vacuuming is disabled INSIDE the tick (grace = MaxValue) so the
+        // bench's own vacuum calls below do — and COUNT — all reclamation;
+        // otherwise the tick's internal vacuum drains the dead-list
+        // silently and the shipped vac_mb undercounts the GC evidence
         StreamIngest.processIndexBatch(spark, wave, b.toLong, store, cfg,
-          maxSlices = 8, vacuumGraceMs = 20000L)
+          maxSlices = 8, vacuumGraceMs = Long.MaxValue)
         ()
       }
       batch(0)

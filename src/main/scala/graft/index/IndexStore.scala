@@ -57,11 +57,26 @@ final class IndexStore(val root: String) {
     * `props` merge into the manifest's props map in the SAME commit.
     */
   def commitSlice(meta: SliceMeta, props: Map[String, String] = Map.empty): Unit = {
+    requireUnreservedKeys(props)
     val (slices, oldProps) =
       if (!exists) (Seq.empty[SliceMeta], Map.empty[String, String])
       else ManifestJson.parse(Files.readString(manifestPath))
     val updated = slices.filterNot(_.sliceId == meta.sliceId) :+ meta
     writeManifest(updated.sortBy(_.sliceId), oldProps ++ props)
+  }
+
+  /** Keys under `dead.` are RESERVED for the slice GC's dead-list (see
+    * `deadSlices`): a caller prop like `dead.7` would read as "slice 7
+    * superseded at t=…" and make `vacuum` delete a LIVE slice's files.
+    * Every caller-facing prop entry point (`commitSlice`,
+    * `setManifestProps`) routes through this guard; only the GC itself
+    * (`mergeSlices` via `commitReplaceSlices`, `vacuum`) writes dead keys.
+    */
+  private def requireUnreservedKeys(props: Map[String, String]): Unit = {
+    val reserved = props.keys.filter(_.startsWith(DeadPrefix))
+    require(reserved.isEmpty,
+      s"manifest prop keys under '$DeadPrefix' are reserved for the slice " +
+        s"GC dead-list: ${reserved.mkString(", ")}")
   }
 
   /** Replace the manifest's slice list (merge/compaction commit); props
@@ -73,8 +88,11 @@ final class IndexStore(val root: String) {
       metas: Seq[SliceMeta], addProps: Map[String, String] = Map.empty): Unit =
     writeManifest(metas.sortBy(_.sliceId), manifestProps ++ addProps)
 
-  /** Merge props into the manifest without touching the slice list. */
+  /** Merge props into the manifest without touching the slice list.
+    * `dead.` keys are rejected — see `requireUnreservedKeys`.
+    */
   def setManifestProps(props: Map[String, String]): Unit = {
+    requireUnreservedKeys(props)
     val (slices, oldProps) =
       if (!exists) (Seq.empty[SliceMeta], Map.empty[String, String])
       else ManifestJson.parse(Files.readString(manifestPath))
@@ -95,7 +113,11 @@ final class IndexStore(val root: String) {
     * min/max stats prune term lookups maximally. Slice contents are
     * disjoint in (term, seg) — docID slices partition segments — so this
     * is a re-layout, not a re-block. Commit is atomic via manifest rename;
-    * old slice files are removed best-effort afterwards.
+    * old slice files are NOT deleted here (concurrent readers hold
+    * pre-compaction snapshots — see `mergeSlices`): they land on the
+    * manifest dead-list, and callers reclaim the disk with
+    * `vacuum(minAgeMs)` once in-flight readers have drained. A batch
+    * caller that never vacuums keeps every superseded generation on disk.
     */
   def compact(spark: SparkSession): SliceMeta =
     mergeSlices(spark, committedSlices.map(_.sliceId))
@@ -168,12 +190,20 @@ final class IndexStore(val root: String) {
 
   private val DeadPrefix = "dead."
 
-  /** Superseded-but-undeleted slices: sliceId → supersededAtMs. */
+  /** Superseded-but-undeleted slices: sliceId → supersededAtMs. Parses
+    * defensively — only `dead.<int>` → `<long>` entries count, so a
+    * malformed key that slipped past `setManifestProps`' guard (e.g. a
+    * hand-edited manifest) degrades to "not a dead entry" instead of
+    * crashing every vacuum tick of the streaming loop.
+    */
   def deadSlices: Map[Int, Long] =
-    manifestProps.collect {
-      case (k, v) if k.startsWith(DeadPrefix) =>
-        k.stripPrefix(DeadPrefix).toInt -> v.toLong
-    }
+    manifestProps.iterator.flatMap { case (k, v) =>
+      if (!k.startsWith(DeadPrefix)) None
+      else for {
+        id <- k.stripPrefix(DeadPrefix).toIntOption
+        at <- v.toLongOption
+      } yield id -> at
+    }.toMap
 
   /** Grace-period GC: delete the files of dead slices superseded at least
     * `minAgeMs` ago, then drop them from the dead-list. Any reader whose

@@ -67,13 +67,13 @@ object FileIngest {
     val timeoutMs = prop("graft.ingest.seqLockTimeoutMs", 10000L)
     val staleMs = prop("graft.ingest.seqLockStaleMs", 60000L)
     val deadline = System.currentTimeMillis() + timeoutMs
+    val token = s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}"
     var held = false
     while (!held) {
-      held = Fs.createExclusive(lock,
-        s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}")
+      held = Fs.createExclusive(lock, token)
       if (!held) {
         val age = Fs.modTimeMs(lock).map(System.currentTimeMillis() - _)
-        if (age.exists(_ > staleMs)) Fs.delete(lock) // crashed owner
+        if (age.exists(_ > staleMs)) breakStaleLock(lock, staleMs)
         else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"seq-counter lock $lock is held by another ingest driver " +
@@ -84,12 +84,96 @@ object FileIngest {
       }
     }
     try {
-      val base = math.max(readSeqFile(f, lenient = false), readSeqFile(tmp, lenient = true))
+      // When main is ABSENT, the orphan tmp is the counter's ONLY copy and
+      // therefore authoritative — read it strictly (a corrupt sole copy
+      // must abort loudly, exactly like a corrupt main; lenient would
+      // silently yield base 0 and invert LWW). A torn tmp can only coexist
+      // with a live main (the write order below guarantees it), so the
+      // lenient read stays correct for that case.
+      val mainExists = Fs.exists(f)
+      val base = math.max(readSeqFile(f, lenient = false),
+        readSeqFile(tmp, lenient = mainExists))
+      // A prior owner that crashed between delete(main) and rename(tmp→main)
+      // left the TMP as the ONLY copy of the counter. Promote it back to
+      // main BEFORE overwriting tmp — Fs.writeString truncates in place, so
+      // writing the new tmp first would open a window where a second crash
+      // leaves main absent AND tmp empty, silently resetting the counter to
+      // 0 (the exact LWW inversion readSeqFile's corruption abort guards).
+      // The rename result is CHECKED: proceeding past a failed promotion
+      // would truncate the sole copy in place and reopen that window.
+      if (!mainExists && Fs.exists(tmp))
+        require(Fs.rename(tmp, f), s"seq-counter promotion rename failed: $tmp -> $f")
       Fs.writeString(tmp, (base + n).toString)
       Fs.delete(f)
       Fs.rename(tmp, f)
       base
-    } finally Fs.delete(lock)
+    } finally {
+      // verify-then-delete: if some waiter spuriously broke OUR lock and a
+      // new owner re-created it, deleting blindly would unlock THEM too.
+      // The verify read retries transient failures — concluding "not mine"
+      // on a single FS hiccup would strand our own lock and force every
+      // later driver through the 10s-timeout/60s-stale-break path.
+      val mine = {
+        var res: Option[Boolean] = None
+        var attempt = 0
+        while (res.isEmpty && attempt < 3) {
+          res =
+            try Some(Fs.readString(lock) == token)
+            catch {
+              case _: java.io.FileNotFoundException => Some(false) // broken by a waiter
+              case _: Exception =>
+                attempt += 1
+                if (attempt < 3) Thread.sleep(20L)
+                None
+            }
+        }
+        res.getOrElse(false) // still unreadable: the stale-break will clear it
+      }
+      if (mine) Fs.delete(lock)
+    }
+  }
+
+  /** Break a stale lock without the delete-TOCTOU: two waiters that both
+    * observed staleness must not BOTH end up deleting (the loser's queued
+    * delete would remove the winner's FRESH lock and admit a third driver).
+    *
+    * The content snapshot is taken HERE and staleness re-verified by
+    * modtime AFTER the read — a waiter that re-acquired in the meantime
+    * wrote a fresh modtime, so a successful re-check proves the content
+    * read belongs to the stale owner (a 60s-stale file cannot share its
+    * modtime with a replacement written now). The break itself is claimed
+    * by an atomic rename to a unique tombstone — only one waiter wins it —
+    * and the tombstone's content is verified against the stale snapshot:
+    * if the rename actually grabbed a FRESH lock (replaced in the
+    * check-to-rename instant), it is restored. If the restore collides
+    * with yet another newly-created lock, the BREAKER aborts loudly; the
+    * displaced owner cannot be signaled on a plain FS, so that residual
+    * (fresh acquisition in the sub-ms check-to-rename window AND a third
+    * driver acquiring in the restore window) is narrowed, not eliminated —
+    * it is the inherent limit of advisory lock files without compare-and-
+    * swap. The displaced owner's own unlock is token-verified, so it never
+    * compounds the damage by deleting the third driver's lock.
+    */
+  private def breakStaleLock(lock: String, staleMs: Long): Unit = {
+    val seen = try Some(Fs.readString(lock)) catch { case _: Exception => None }
+    val stillStale =
+      Fs.modTimeMs(lock).exists(System.currentTimeMillis() - _ > staleMs)
+    if (seen.isEmpty || !stillStale) return // replaced under us — no break
+    val tomb = s"$lock.broken-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (Fs.rename(lock, tomb)) {
+      val got = try Some(Fs.readString(tomb)) catch { case _: Exception => None }
+      if (got == seen) Fs.delete(tomb) // broke the stale lock; loop re-acquires
+      else {
+        // we grabbed a lock that was replaced under us — put it back
+        if (Fs.exists(lock) || !Fs.rename(tomb, lock)) {
+          Fs.delete(tomb)
+          throw new IllegalStateException(
+            s"seq-counter lock $lock changed owners while breaking a stale " +
+              "lock and could not be restored — aborting rather than risk " +
+              "two concurrent sequence reservations")
+        }
+      }
+    }
   }
 
   /** Last-write-wins resolution over a seq-stamped id-keyed target: one
@@ -142,7 +226,9 @@ object FileIngest {
     * for every future write. The reservation TMP is different: the
     * advance protocol (write tmp fully, then delete main, then rename)
     * means a torn tmp can only exist while the main file still holds the
-    * authoritative value, so an unparseable tmp safely reads as 0.
+    * authoritative value, so an unparseable tmp safely reads as 0 —
+    * callers therefore pass `lenient = <main exists>`: an ORPHAN tmp
+    * (main absent) is the counter's sole copy and must abort if corrupt.
     */
   private def readSeqFile(path: String, lenient: Boolean): Long =
     if (!Fs.exists(path)) 0L
@@ -188,9 +274,11 @@ object FileIngest {
     // `recoverCompact` (called by every read/ingest entry point) rolls it
     // back automatically on the next touch.
     // the live value is max(counter, reservation tmp) — a crashed
-    // reservation may have advanced only the tmp (see reserveSeqRange)
+    // reservation may have advanced only the tmp (see reserveSeqRange);
+    // as there, the tmp is only read leniently while a main exists (an
+    // orphan tmp is the sole authoritative copy — corrupt must abort)
     val cur = math.max(readSeqFile(s"$dir/_graft_seq", lenient = false),
-      readSeqFile(s"$dir/_graft_seq.tmp", lenient = true))
+      readSeqFile(s"$dir/_graft_seq.tmp", lenient = Fs.exists(s"$dir/_graft_seq")))
     if (cur > 0L) {
       Fs.writeString(s"$tmp/_graft_seq.tmp", cur.toString)
       Fs.delete(s"$tmp/_graft_seq")
@@ -328,7 +416,10 @@ object FileIngest {
           val bad = failedRecs.count()
           if (bad > 0) Dlq.writeRecords(failedRecs, dlqPath)
           cacheHandle.foreach(_.unpersist(blocking = false))
-          Retry("ledger")(Seq(f).toDF("file").write.mode("append").parquet(ledgerPath))
+          // staged, not a plain append: concurrent drivers share the
+          // ledger table, and two plain append jobs to one directory
+          // clobber each other's _temporary task output
+          StagedAppend(Seq(f).toDF("file"), ledgerPath, "ledger")
           processed += n
           failed += bad
           reports += FileReport(f, n + bad, bad,
@@ -452,9 +543,10 @@ object FileIngest {
     // ledger rows land as each unit (file / group) COMPLETES — a crash
     // mid-run then re-does at most the in-flight unit under resume, the
     // same exposure as the serial loop's per-file ledger appends
+    // staged (see the serial loop's ledger comment): concurrent drivers
+    // share the ledger table, and plain appends clobber each other
     def ledgerWrite(fs: Seq[String]): Unit =
-      if (fs.nonEmpty)
-        Retry("ledger")(fs.toDF("file").write.mode("append").parquet(ledgerPath))
+      if (fs.nonEmpty) StagedAppend(fs.toDF("file"), ledgerPath, "ledger")
 
     // serial fallback shares the single-file path verbatim
     def serialOne(f: String): Unit =

@@ -285,8 +285,6 @@ object Cleanup {
 object Dlq {
   final val MaxPayloadBytes = 235520 // 230 KB, file_processor.py:308
 
-  case class FailedRecord(sourceFile: String, docJson: String, errorType: String, errorReason: String)
-
   /** Split a payload into ≤230 KB parts, mirroring the reference's
     * part-numbering contract (file_processor.py:304-366).
     */
@@ -306,12 +304,6 @@ object Dlq {
       val total = parts.length
       parts.toSeq.zipWithIndex.map { case (p, i) => (i + 1, total, p) }
     }
-  }
-
-  /** Quarantine failed rows as a parquet side-channel. */
-  def write(spark: SparkSession, failed: Seq[FailedRecord], path: String): Unit = {
-    import spark.implicits._
-    failed.toDF().write.mode("append").parquet(path)
   }
 
   /** Quarantine failed records distributed, applying the 230 KB part

@@ -7,12 +7,14 @@ package graft.ingest
   * DRIVER-side ledger/DLQ/target writes, where a transient FS hiccup would
   * otherwise fail the whole file/group.
   *
-  * Safety: row-bearing appends (target, DLQ) go through `StagedAppend`,
-  * so a retried attempt can never duplicate rows even if the failed
-  * attempt partially committed (commitJob publishes task files one by
-  * one — a mid-commit failure leaves some visible). Ledger appends retry
-  * the plain append: the ledger is read as a SET of file names, so a
-  * duplicated row is harmless by construction.
+  * Safety: ALL driver-side appends (target, DLQ, ledger) go through
+  * `StagedAppend`, so a retried attempt can never duplicate rows even if
+  * the failed attempt partially committed (commitJob publishes task files
+  * one by one — a mid-commit failure leaves some visible). Staging also
+  * gives each attempt its own output directory, so two concurrent ingest
+  * drivers appending to one shared table (e.g. the ledger) never share a
+  * `_temporary` dir — with plain `mode("append")`, one job's commit
+  * cleanup deletes the other's in-flight task output.
   */
 object Retry {
 
@@ -156,26 +158,45 @@ object Fs {
   * fully-committed attempt publishes, by moving its part files into the
   * target. A failed attempt leaves nothing visible, so the retry is
   * duplication-free for ANY schema. Part names carry the write's job UUID
-  * (never collide with existing target files); a crashed publish leaves
-  * an inert `.__stage-*` sibling (never read — stages are outside the
-  * target directory) plus at worst a partial append, the same exposure as
-  * a crashed plain append.
+  * (never collide with existing target files); each publish rename is
+  * retried (idempotently — a rename whose source is already gone is
+  * counted done), and a publish that still fails partway leaves the stage
+  * directory INTACT (an inert `.__stage-*` sibling, never read — stages
+  * are outside the target directory) so the unpublished part files are
+  * recoverable, plus at worst a partial append — the same exposure as a
+  * crashed plain append, now only reachable through a crash or an
+  * exhausted retry.
   */
 object StagedAppend {
   def apply(df: org.apache.spark.sql.DataFrame, targetPath: String, label: String): Unit = {
     val stage = targetPath.stripSuffix("/") +
       s".__stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    var published = false
+    var publishStarted = false
     try {
       Retry(label)(df.write.mode("overwrite").parquet(stage))
       Fs.mkdirs(targetPath)
+      publishStarted = true
       Fs.childNames(stage)
         .filterNot(n => n.startsWith("_") || n.startsWith("."))
         .foreach { n =>
-          require(Fs.rename(s"$stage/$n", s"${targetPath.stripSuffix("/")}/$n"),
-            s"publish rename failed for $stage/$n")
+          Retry(s"$label-publish") {
+            val src = s"$stage/$n"
+            // rename first — the happy path pays ONE metadata op per part;
+            // only a failed rename consults exists (absent source = a
+            // prior attempt's rename already landed, counted done)
+            if (!Fs.rename(src, s"${targetPath.stripSuffix("/")}/$n") && Fs.exists(src))
+              throw new IllegalStateException(s"publish rename failed for $src")
+          }
         }
+      published = true
     } finally {
-      try Fs.deleteRecursive(stage) catch { case _: Exception => () }
+      // a stage is cleaned up when fully published, or when the stage
+      // WRITE itself failed (nothing valuable in it). A PARTIAL publish
+      // keeps the stage: deleting it would destroy the not-yet-visible
+      // part files while some siblings are already in the target.
+      if (published || !publishStarted)
+        try Fs.deleteRecursive(stage) catch { case _: Exception => () }
     }
   }
 }

@@ -76,11 +76,31 @@ object StreamIngest {
     val coerced = graft.ingest.Coerce.documents(batch)
     val n = coerced.count()
     if (n > 0) {
+      requireBatchLayout(stagingPath, "staging")
+      requireBatchLayout(ledgerPath, "ledger")
       coerced.write.mode("overwrite").parquet(s"$stagingPath/batch=$batchId")
       Seq((batchId, n)).toDF("batch_id", "rows")
         .write.mode("overwrite").parquet(s"$ledgerPath/batch=$batchId")
     }
     n
+  }
+
+  /** The batch-keyed layout cannot coexist with a FLAT table written by a
+    * pre-round-6 `docStream` (or any plain append): leaf files at two
+    * directory depths fail Spark's partition discovery for every
+    * downstream read ("conflicting directory structures"). Catch it at
+    * the first write with a migration message instead of poisoning the
+    * table.
+    */
+  private def requireBatchLayout(path: String, what: String): Unit = {
+    val flat = graft.ingest.Fs.childNames(path)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".") || n.startsWith("batch="))
+    require(flat.isEmpty,
+      s"$what table $path holds non-batch-keyed entries (${flat.take(3).mkString(", ")}…) " +
+        "— docStream now writes one batch=<id> partition per micro-batch " +
+        "(replay-idempotent overwrite); migrate the existing flat files " +
+        "into a batch=<id> subdirectory (e.g. batch=-1) or point the " +
+        "stream at a fresh table")
   }
 
   /** Continuous indexing: stream documents (url, text, lang) straight into

@@ -265,4 +265,37 @@ class IndexSpec extends AnyFunSuite {
     assert(store.manifestProps("evil2") == """y"props":{"a":"b"}""")
     store.dropAll()
   }
+
+  test("manifest dead-list namespace is reserved and parsed defensively") {
+    val store = freshStore()
+    store.commitSlice(SliceMeta(0, 0, 3, 10L, 100L, 4L, 1234L, 1L))
+    // a caller prop like "dead.0" would read as "slice 0 superseded" and
+    // make vacuum delete a LIVE slice's files — reject at the API
+    val e = intercept[IllegalArgumentException] {
+      store.setManifestProps(Map("dead.0" -> "5"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    // the guard covers EVERY caller-facing prop entry point — commitSlice
+    // carries props too (IndexBuilder.build/append manifestProps ride it)
+    val e2 = intercept[IllegalArgumentException] {
+      store.commitSlice(SliceMeta(1, 4, 7, 10L, 100L, 4L, 1234L, 1L), Map("dead.0" -> "5"))
+    }
+    assert(e2.getMessage.contains("reserved"))
+    assert(store.committedSlices.map(_.sliceId) == Seq(0), "refused commit must not land")
+    assert(store.deadSlices.isEmpty)
+    // a malformed dead entry that slipped past the guard (hand-edited
+    // manifest) must degrade to "not dead", not crash every vacuum tick
+    val mf = java.nio.file.Paths.get(store.root, "manifest.json")
+    val txt = java.nio.file.Files.readString(mf)
+    store.setManifestProps(Map("zz.marker" -> "1"))
+    val txt2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(store.root, "manifest.json"))
+    java.nio.file.Files.writeString(mf,
+      txt2.replace("\"zz.marker\":\"1\"", "\"dead.letter.count\":\"5\""))
+    assert(store.manifestProps.contains("dead.letter.count"))
+    assert(store.deadSlices.isEmpty, "malformed dead key must be ignored")
+    assert(store.vacuum(0L) == (0, 0L)) // and vacuum must not throw
+    assert(txt.nonEmpty)
+    store.dropAll()
+  }
 }

@@ -469,7 +469,10 @@ class IngestSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$dir/t").count() == 2, "retry must not duplicate rows")
       assert(spark.read.parquet(s"$dir/dlq").count() == 1)
       assert(spark.read.parquet(s"$dir/l").count() == 1)
-      assert(attempts.keySet == Set("target", "dlq", "ledger"), s"faults hit: $attempts")
+      // every sink's stage write AND its publish renames took one injected
+      // failure each — and all recovered without duplicating a row
+      assert(attempts.keySet == Set("target", "dlq", "ledger",
+        "target-publish", "dlq-publish", "ledger-publish"), s"faults hit: $attempts")
     } finally {
       Retry.injectFault = null
       sys.props.remove("graft.ingest.retryBaseMs")
@@ -581,6 +584,64 @@ class IngestSpec extends AnyFunSuite {
       s"concurrent drivers stamped overlapping sequence values: $seqs")
     // counter = 9 reservations of 1 (the lock-abort attempt advanced nothing)
     assert(Files.readString(Paths.get(s"$t/_graft_seq")).trim.toLong == 9L)
+    // the shared LEDGER also survives concurrency: staged appends give each
+    // driver its own write directory, so no job clobbers another's
+    // _temporary output — all 9 completed ingests (stale-break + 8
+    // concurrent) leave exactly their file rows behind
+    val ledger = spark.read.parquet(s"$dir/l").select("file")
+      .collect().map(_.getString(0)).toSeq
+    assert(ledger.size == 9 && ledger.distinct.size == 9,
+      s"concurrent ledger appends lost or duplicated rows: $ledger")
+  }
+
+  test("staged append: publish renames retry idempotently; a partial publish keeps the stage") {
+    import java.nio.file.Paths
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-staged-").toString
+    sys.props("graft.ingest.retryBaseMs") = "1"
+    // transient publish failure: the first attempt of each publish rename
+    // throws; the retry finds the source still unrenamed and lands it —
+    // no duplicate, no loss, stage cleaned
+    Retry.injectFault = (label, attempt) => label == "t-publish" && attempt == 1
+    try {
+      StagedAppend(Seq(1, 2, 3).toDF("v"), s"$dir/t", "t")
+      assert(spark.read.parquet(s"$dir/t").count() == 3)
+      assert(!Files.list(Paths.get(dir)).iterator().asScala
+        .exists(_.getFileName.toString.contains(".__stage-")),
+        "stage must be cleaned after a successful publish")
+    } finally Retry.injectFault = null
+    // persistent publish failure: the error surfaces, and the stage is
+    // KEPT — deleting it would destroy the unpublished part files while
+    // published siblings may already be visible in the target
+    Retry.injectFault = (label, _) => label == "t2-publish"
+    try {
+      intercept[Exception](StagedAppend(Seq(4).toDF("v"), s"$dir/t2", "t2"))
+      assert(Files.list(Paths.get(dir)).iterator().asScala
+        .exists(_.getFileName.toString.contains(".__stage-")),
+        "a partially-published stage must be kept for recovery")
+    } finally {
+      Retry.injectFault = null
+      sys.props.remove("graft.ingest.retryBaseMs")
+    }
+  }
+
+  test("crashed counter advance (tmp is the only copy) heals: promoted to main, never truncated in place") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft-seqpromote-").toString
+    def csv(p: String, rows: String): String = { Files.writeString(Paths.get(p), rows); p }
+    val t = s"$dir/t"
+    // a crash between delete(main) and rename(tmp→main) leaves the TMP as
+    // the counter's ONLY copy
+    Fs.mkdirs(t)
+    Fs.writeString(s"$t/_graft_seq.tmp", "5")
+    val s = FileIngest.ingest(spark, Seq(csv(s"$dir/a.csv", "id,name\n1,a\n")),
+      t, s"$dir/l", s"$dir/d")
+    assert(s.processedRows == 1)
+    // the reservation resumed at the reserved-range bound (5), not 0 —
+    // and the advance completed: main holds 6, no orphan tmp remains
+    assert(spark.read.parquet(t).select("__seq").head().getLong(0) == 5L)
+    assert(Files.readString(Paths.get(s"$t/_graft_seq")).trim.toLong == 6L)
+    assert(!Files.exists(Paths.get(s"$t/_graft_seq.tmp")))
   }
 
   test("corrupt seq counter aborts loudly; a torn reservation tmp is safe by protocol") {

@@ -53,6 +53,23 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("id") === 1.0).head().getAs[String]("name") == "alpha")
   }
 
+  test("docStream refuses a pre-existing FLAT staging table instead of poisoning partition discovery") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-flat-").toString
+    // a staging table written flat (pre-batch-keyed layout, or any plain
+    // append): mixing it with batch=<id> subdirectories would fail every
+    // downstream read with conflicting directory structures
+    Seq((1L, "old", 1.0)).toDF("id", "name", "value")
+      .write.parquet(s"$base/staging")
+    val df = Seq((2L, "new", 2.0)).toDF("id", "name", "value")
+    val e = intercept[IllegalArgumentException] {
+      StreamIngest.processDocBatch(spark, df, 0L, s"$base/staging", s"$base/ledger")
+    }
+    assert(e.getMessage.contains("batch="))
+    // the flat table is untouched — no half-written batch dir beside it
+    assert(spark.read.parquet(s"$base/staging").count() == 1)
+  }
+
   test("indexStream: continuous indexing — streamed waves append fresh-segment slices") {
     import graft.index.{IndexBuilder, IndexStore}
     import graft.query.{OracleScorer, Wand}
