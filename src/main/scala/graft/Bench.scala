@@ -154,15 +154,22 @@ object Bench {
         nq / sec
       } finally pool.shutdown()
     }
+    // true median: even sizes average the two middle values — the common
+    // stop-at-2-clearing-runs case must not ship the BETTER of the two
+    // (upper-middle indexing would let the retry rule select the headline)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // ≥2 bound-clearing runs or a loud flag, same policy as phase 2c
     // (the flag list is declared just below and shared by all phases)
     val qpsRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
     val seqQps = 1000.0 / p50
     while (qpsRuns.count(_ >= seqQps / 3.0) < 2 && qpsRuns.size < 5) qpsRuns += qpsRun()
-    val qpsOk = qpsRuns.filter(_ >= seqQps / 3.0).sorted
+    val qpsOk = qpsRuns.filter(_ >= seqQps / 3.0)
     val (qps, qpsFlagged) =
-      if (qpsOk.size >= 2) (qpsOk(qpsOk.size / 2), false)
-      else (qpsRuns.sorted.apply(qpsRuns.size / 2), true)
+      if (qpsOk.size >= 2) (medianOf(qpsOk.toSeq), false)
+      else (medianOf(qpsRuns.toSeq), true)
 
     // ---- phase 2c: single-node serving tier (same segTopK kernel loaded
     // in memory, no Spark job per query — how a shard server would run),
@@ -191,7 +198,6 @@ object Bench {
       "phrase_mt16" -> scala.collection.mutable.ArrayBuffer.empty[Double])
     val belowBound = scala.collection.mutable.ArrayBuffer.empty[String]
     if (qpsFlagged) belowBound += "concurrent_qps"
-    def medianOf(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     // run until ≥2 runs clear their (per-run) bound or the cap hits;
     // ship the median of the clearing runs — else the median of ALL runs,
     // loudly flagged in `below_bound` (never the max: the retry rule must

@@ -73,14 +73,19 @@ object FileIngest {
       held = Fs.createExclusive(lock, token)
       if (!held) {
         val age = Fs.modTimeMs(lock).map(System.currentTimeMillis() - _)
+        // local-clock age is only a cheap PRE-FILTER — breakStaleLock
+        // re-measures against the filesystem's own clock before breaking
         if (age.exists(_ > staleMs)) breakStaleLock(lock, staleMs)
-        else if (System.currentTimeMillis() > deadline)
+        // deadline and sleep apply on EVERY contended iteration — a
+        // stale-looking lock that repeatedly fails to break (permissions,
+        // clock skew, races) must abort at the timeout, not hot-spin
+        if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"seq-counter lock $lock is held by another ingest driver " +
               s"(age ${age.getOrElse(-1L)} ms) — concurrent ingest into one target " +
               "is single-writer; if the owner crashed, the lock breaks after " +
               s"$staleMs ms or can be removed manually")
-        else Thread.sleep(50)
+        Thread.sleep(50)
       }
     }
     try {
@@ -137,11 +142,15 @@ object FileIngest {
     * observed staleness must not BOTH end up deleting (the loser's queued
     * delete would remove the winner's FRESH lock and admit a third driver).
     *
-    * The content snapshot is taken HERE and staleness re-verified by
-    * modtime AFTER the read — a waiter that re-acquired in the meantime
-    * wrote a fresh modtime, so a successful re-check proves the content
-    * read belongs to the stale owner (a 60s-stale file cannot share its
-    * modtime with a replacement written now). The break itself is claimed
+    * The content snapshot is taken HERE and staleness re-verified AFTER
+    * the read — a waiter that re-acquired in the meantime wrote a fresh
+    * modtime, so a successful re-check proves the content read belongs to
+    * the stale owner (a 60s-stale file cannot share its modtime with a
+    * replacement written now). The re-check measures age against the
+    * FILESYSTEM'S clock (a probe file's modtime), not the driver's — on a
+    * shared hdfs/s3a target, a waiter whose local clock runs ahead of the
+    * storage service by more than staleMs would otherwise break a LIVE
+    * owner's lock and double-reserve. The break itself is claimed
     * by an atomic rename to a unique tombstone — only one waiter wins it —
     * and the tombstone's content is verified against the stale snapshot:
     * if the rename actually grabbed a FRESH lock (replaced in the
@@ -156,15 +165,20 @@ object FileIngest {
     */
   private def breakStaleLock(lock: String, staleMs: Long): Unit = {
     val seen = try Some(Fs.readString(lock)) catch { case _: Exception => None }
-    val stillStale =
-      Fs.modTimeMs(lock).exists(System.currentTimeMillis() - _ > staleMs)
+    val now = fsNowMs(lock).getOrElse(System.currentTimeMillis())
+    val stillStale = Fs.modTimeMs(lock).exists(now - _ > staleMs)
     if (seen.isEmpty || !stillStale) return // replaced under us — no break
     val tomb = s"$lock.broken-${java.util.UUID.randomUUID().toString.take(8)}"
     if (Fs.rename(lock, tomb)) {
       val got = try Some(Fs.readString(tomb)) catch { case _: Exception => None }
       if (got == seen) Fs.delete(tomb) // broke the stale lock; loop re-acquires
       else {
-        // we grabbed a lock that was replaced under us — put it back
+        // we grabbed a lock that was replaced under us — put it back. If
+        // its owner raced through unlock during the gap (saw the lock
+        // missing, concluded "broken by a waiter", exited), the restored
+        // lock is an orphan — but a fresh-mtime one, so it self-heals via
+        // this same stale-break after staleMs; waiters in the interim hit
+        // the timeout abort with the manual-removal hint
         if (Fs.exists(lock) || !Fs.rename(tomb, lock)) {
           Fs.delete(tomb)
           throw new IllegalStateException(
@@ -174,6 +188,22 @@ object FileIngest {
         }
       }
     }
+  }
+
+  /** The filesystem's own current time, measured as a freshly-written
+    * probe file's modtime — comparing a lock's modtime against THIS clock
+    * is skew-free (both timestamps come from the same storage service),
+    * unlike comparing against `System.currentTimeMillis()` on the driver.
+    * None when the probe fails (caller falls back to the local clock).
+    * Only called on the contended stale-break path, never per-reservation.
+    */
+  private def fsNowMs(near: String): Option[Long] = {
+    val probe = s"$near.clock-${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      Fs.writeString(probe, "")
+      Fs.modTimeMs(probe)
+    } catch { case _: Exception => None }
+    finally Fs.delete(probe)
   }
 
   /** Last-write-wins resolution over a seq-stamped id-keyed target: one
@@ -211,9 +241,14 @@ object FileIngest {
     val dir = targetPath.stripSuffix("/")
     val old = dir + ".__compact_old"
     if (Fs.exists(old)) {
-      if (!Fs.exists(dir)) // roll back move 1
-        require(Fs.rename(old, dir), s"compact rollback rename failed: $old -> $dir")
-      else // swap completed; old is superseded — finish the cleanup
+      if (!Fs.exists(dir)) {
+        // roll back move 1 — concurrency-tolerant: N drivers entering
+        // ingest after the crash all attempt this rename, one wins, and
+        // the losers must treat "dir exists now" as healed-by-peer, not
+        // as a failure that aborts their whole ingest
+        val ok = Fs.rename(old, dir)
+        require(ok || Fs.exists(dir), s"compact rollback rename failed: $old -> $dir")
+      } else // swap completed; old is superseded — finish the cleanup
         Fs.deleteRecursive(old)
     }
     // a dead .__compact_tmp (crash before move 1) is inert: the next
@@ -378,6 +413,10 @@ object FileIngest {
     import spark.implicits._
 
     recoverCompact(targetPath)
+    // reclaim orphaned append stages past the grace window — a failed
+    // staged append reports its unit failed (resume re-does it), so aged
+    // stages are pure garbage
+    Seq(targetPath, ledgerPath, dlqPath).foreach(StagedAppend.vacuumStages(_))
     val done: Set[String] =
       if (resume && Fs.exists(ledgerPath))
         spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet
@@ -490,6 +529,10 @@ object FileIngest {
     import spark.implicits._
 
     recoverCompact(targetPath)
+    // reclaim orphaned append stages past the grace window — a failed
+    // staged append reports its unit failed (resume re-does it), so aged
+    // stages are pure garbage
+    Seq(targetPath, ledgerPath, dlqPath).foreach(StagedAppend.vacuumStages(_))
     val done: Set[String] =
       if (resume && Fs.exists(ledgerPath))
         spark.read.parquet(ledgerPath).select("file").as[String].collect().toSet

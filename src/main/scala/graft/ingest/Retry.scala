@@ -162,10 +162,13 @@ object Fs {
   * retried (idempotently — a rename whose source is already gone is
   * counted done), and a publish that still fails partway leaves the stage
   * directory INTACT (an inert `.__stage-*` sibling, never read — stages
-  * are outside the target directory) so the unpublished part files are
-  * recoverable, plus at worst a partial append — the same exposure as a
+  * are outside the target directory) so the unpublished part files stay
+  * inspectable, plus at worst a partial append — the same exposure as a
   * crashed plain append, now only reachable through a crash or an
-  * exhausted retry.
+  * exhausted retry. Orphaned stages are GARBAGE for correctness (a failed
+  * append reports its unit failed, so resume re-ingests the whole unit);
+  * `vacuumStages` reclaims them past a grace window at every ingest
+  * entry, so repeated failures cannot leak disk unboundedly.
   */
 object StagedAppend {
   def apply(df: org.apache.spark.sql.DataFrame, targetPath: String, label: String): Unit = {
@@ -196,6 +199,30 @@ object StagedAppend {
       // keeps the stage: deleting it would destroy the not-yet-visible
       // part files while some siblings are already in the target.
       if (published || !publishStarted)
+        try Fs.deleteRecursive(stage) catch { case _: Exception => () }
+    }
+  }
+
+  /** Reclaim orphaned `.__stage-*` siblings of `targetPath` older than
+    * the grace window (`graft.ingest.stageGraceMs`, default 6h). A stage
+    * outlives its append only through a crash or an exhausted publish
+    * retry — in both cases the unit was reported FAILED and resume
+    * re-ingests it, so the stage's contents are never needed again. The
+    * grace window exists solely to spare a CONCURRENT driver's in-flight
+    * stage (whose files' modtimes are fresh while it writes).
+    */
+  def vacuumStages(targetPath: String, minAgeMs: Long = sys.props
+      .get("graft.ingest.stageGraceMs").map(_.toLong).getOrElse(6L * 3600 * 1000)): Unit = {
+    val dir = targetPath.stripSuffix("/")
+    val cut = dir.lastIndexOf('/')
+    if (cut <= 0) return // no parent to scan (bare relative name)
+    val parent = dir.substring(0, cut)
+    val prefix = dir.substring(cut + 1) + ".__stage-"
+    val now = System.currentTimeMillis()
+    Fs.childNames(parent).filter(_.startsWith(prefix)).foreach { n =>
+      val stage = s"$parent/$n"
+      val old = Fs.modTimeMs(stage).exists(now - _ > minAgeMs)
+      if (old)
         try Fs.deleteRecursive(stage) catch { case _: Exception => () }
     }
   }

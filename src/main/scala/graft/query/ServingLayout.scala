@@ -219,9 +219,43 @@ final class ServingNode(
         else null)
     }
 
+    // merge through loaded-else-cache VIEWS: the caches and counters
+    // commit only after assemble + loadDocs succeed too — a decode
+    // failure mid-assemble must leave the node's state (serving index,
+    // caches, AND observability counters) exactly as it was, or the next
+    // successful refresh would report lastLoadedSlices=0 for the tick
+    // that actually published the data (breaking the refresh-cost-
+    // tracks-delta evidence the bench's live phase ships)
+    val loadedById = loaded.iterator.map(l => l._1 -> l).toMap
+    val loadedCounts = loaded.iterator.map(l => l._1 -> countsOf(l._3)).toMap
+    def blocksOf(id: Int) = loadedById.get(id).map(_._2).getOrElse(sliceBlocks(id))
+    def normsOf(id: Int) = loadedById.get(id).map(_._3).getOrElse(sliceNorms(id))
+    def termsOf(id: Int) = loadedById.get(id).map(_._4).getOrElse(sliceTerms(id))
+    def cntOf(id: Int) = loadedCounts.getOrElse(id, sliceCounts(id))
+    def metasOf(id: Int) = loadedById.get(id).map(_._5).getOrElse(sliceDocMetas(id))
+    val sortedIds = ids.toSeq.sorted
+    val blocks = sortedIds.iterator.flatMap(blocksOf).toArray
+    val norms = Serving.normsMapOf(sortedIds.iterator.flatMap(normsOf).toArray)
+    // df partials are additive (slices partition documents); the merged
+    // sum over longs equals the round-5 groupBy-sum exactly
+    val df = new java.util.HashMap[String, Long]()
+    sortedIds.foreach(id =>
+      termsOf(id).foreach(t => df.put(t.term, df.get(t.term) + t.df)))
+    var nDocs = 0L
+    var totTokens = 0L
+    sortedIds.foreach { id =>
+      val (a, b) = cntOf(id); nDocs += a; totTokens += b
+    }
+    // same arithmetic as IndexStats.fromDocs over this snapshot's docs
+    val stats = IndexStats(nDocs,
+      if (nDocs == 0) 0.0 else totTokens.toDouble / nDocs, df.size().toLong, totTokens)
+    val si = Serving.assemble(blocks, norms, df, stats, maxBytes, prevDecoded)
+    if (withDocs)
+      si.loadDocs(sortedIds.iterator.flatMap(metasOf).toArray)
+    // COMMIT — everything above succeeded
     loaded.foreach { case (id, b, n, t, dm) =>
       sliceBlocks(id) = b; sliceNorms(id) = n; sliceTerms(id) = t
-      sliceCounts(id) = countsOf(n)
+      sliceCounts(id) = loadedCounts(id)
       if (withDocs) sliceDocMetas(id) = dm
     }
     dropped.foreach { id =>
@@ -230,26 +264,7 @@ final class ServingNode(
     }
     lastLoadedSlices = newIds.size
     lastDroppedSlices = dropped.size
-    val sortedIds = ids.toSeq.sorted
-    val blocks = sortedIds.iterator.flatMap(sliceBlocks(_)).toArray
-    val norms = Serving.normsMapOf(sortedIds.iterator.flatMap(sliceNorms(_)).toArray)
-    // df partials are additive (slices partition documents); the merged
-    // sum over longs equals the round-5 groupBy-sum exactly
-    val df = new java.util.HashMap[String, Long]()
-    sortedIds.foreach(id =>
-      sliceTerms(id).foreach(t => df.put(t.term, df.get(t.term) + t.df)))
-    var nDocs = 0L
-    var totTokens = 0L
-    sortedIds.foreach { id =>
-      val (a, b) = sliceCounts(id); nDocs += a; totTokens += b
-    }
-    // same arithmetic as IndexStats.fromDocs over this snapshot's docs
-    val stats = IndexStats(nDocs,
-      if (nDocs == 0) 0.0 else totTokens.toDouble / nDocs, df.size().toLong, totTokens)
-    val si = Serving.assemble(blocks, norms, df, stats, maxBytes, prevDecoded)
     lastReusedDecodes = si.reusedDecodes
-    if (withDocs)
-      si.loadDocs(sortedIds.iterator.flatMap(sliceDocMetas(_)).toArray)
     (slices, si)
   }
 

@@ -623,6 +623,18 @@ class IngestSpec extends AnyFunSuite {
       Retry.injectFault = null
       sys.props.remove("graft.ingest.retryBaseMs")
     }
+    // orphaned stages are garbage (the failed unit re-ingests under
+    // resume) — the grace-window vacuum reclaims aged ones and spares a
+    // concurrent driver's fresh in-flight stage
+    val orphan = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("t2.__stage-")).get
+    val fresh = Paths.get(s"$dir/t2.__stage-fresh123")
+    Files.createDirectories(fresh)
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L))
+    StagedAppend.vacuumStages(s"$dir/t2", minAgeMs = 3600_000L)
+    assert(!Files.exists(orphan), "aged orphan stage must be vacuumed")
+    assert(Files.exists(fresh), "fresh (possibly in-flight) stage must be spared")
   }
 
   test("crashed counter advance (tmp is the only copy) heals: promoted to main, never truncated in place") {
