@@ -62,7 +62,13 @@ final class IndexStore(val root: String) {
       if (!exists) (Seq.empty[SliceMeta], Map.empty[String, String])
       else ManifestJson.parse(Files.readString(manifestPath))
     val updated = slices.filterNot(_.sliceId == meta.sliceId) :+ meta
-    writeManifest(updated.sortBy(_.sliceId), oldProps ++ props)
+    // committing an id REVIVES it: drop any dead-list entry for it in the
+    // SAME rename. A fixed-id rebuild over a previously-merged store (the
+    // builder always allocates slice ids 0..n-1) overwrites the dead
+    // slice's files with live data — leaving the stale dead entry would
+    // let a later vacuum ripen it and delete the LIVE slice's files.
+    writeManifest(updated.sortBy(_.sliceId),
+      (oldProps ++ props) - s"$DeadPrefix${meta.sliceId}")
   }
 
   /** Keys under `dead.` are RESERVED for the slice GC's dead-list (see
@@ -86,7 +92,10 @@ final class IndexStore(val root: String) {
     */
   private[index] def commitReplaceSlices(
       metas: Seq[SliceMeta], addProps: Map[String, String] = Map.empty): Unit =
-    writeManifest(metas.sortBy(_.sliceId), manifestProps ++ addProps)
+    // same revive rule as commitSlice: the manifest must never hold an id
+    // both committed and dead (vacuum would delete a live slice's files)
+    writeManifest(metas.sortBy(_.sliceId),
+      (manifestProps ++ addProps) -- metas.map(m => s"$DeadPrefix${m.sliceId}"))
 
   /** Merge props into the manifest without touching the slice list.
     * `dead.` keys are rejected — see `requireUnreservedKeys`.
@@ -219,7 +228,15 @@ final class IndexStore(val root: String) {
     * re-read and its write.
     */
   def vacuum(minAgeMs: Long, nowMs: Long = System.currentTimeMillis()): (Int, Long) = {
-    val ripe = deadSlices.filter { case (_, at) => nowMs - at >= minAgeMs }
+    // Defense-in-depth against a manifest holding an id both committed and
+    // dead (commit paths strip revived ids, but a pre-fix or hand-edited
+    // manifest may still carry one): NEVER delete a committed id's files —
+    // they are live data (a fixed-id rebuild overwrote the dead slice) —
+    // just heal the manifest by dropping the stale dead entry.
+    val live = committedSlices.map(_.sliceId).toSet
+    val dead = deadSlices
+    val revived = dead.keySet.filter(live)
+    val ripe = dead.filter { case (id, at) => !live(id) && nowMs - at >= minAgeMs }
     var bytes = 0L
     ripe.keys.foreach { id =>
       Seq("postings", "terms", "norms", "docs").foreach { t =>
@@ -231,9 +248,10 @@ final class IndexStore(val root: String) {
         }
       }
     }
-    if (ripe.nonEmpty) {
+    if (ripe.nonEmpty || revived.nonEmpty) {
       val (slices, props) = ManifestJson.parse(Files.readString(manifestPath))
-      writeManifest(slices, props -- ripe.keys.map(id => s"$DeadPrefix$id"))
+      writeManifest(slices,
+        props -- (ripe.keys ++ revived).map(id => s"$DeadPrefix$id"))
     }
     (ripe.size, bytes)
   }

@@ -143,6 +143,24 @@ object Fs {
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
+  /** Newest modtime across a path's whole tree (the root dir, every
+    * descendant dir, and every file), or None if the path is missing.
+    * Activity detection for in-flight write trees: a directory's OWN
+    * mtime freezes once its direct children exist (task files land
+    * levels below), so "is anything still writing here" must take the
+    * max over the tree, not the root.
+    */
+  def newestMtimeMs(path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    def walk(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(st.getPath).toSeq.map(walk)).max
+    Some(walk(fs.getFileStatus(p)))
+  }
+
   def deleteRecursive(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(conf).delete(p, true)
@@ -209,7 +227,11 @@ object StagedAppend {
     * retry — in both cases the unit was reported FAILED and resume
     * re-ingests it, so the stage's contents are never needed again. The
     * grace window exists solely to spare a CONCURRENT driver's in-flight
-    * stage (whose files' modtimes are fresh while it writes).
+    * stage; staleness is the newest modtime across the stage's WHOLE
+    * tree (the root dir's own mtime freezes once `_temporary` is
+    * created, while task files keep landing levels below — judging by
+    * the root would let one driver delete another's long-running write
+    * out from under it).
     */
   def vacuumStages(targetPath: String, minAgeMs: Long = sys.props
       .get("graft.ingest.stageGraceMs").map(_.toLong).getOrElse(6L * 3600 * 1000)): Unit = {
@@ -221,7 +243,7 @@ object StagedAppend {
     val now = System.currentTimeMillis()
     Fs.childNames(parent).filter(_.startsWith(prefix)).foreach { n =>
       val stage = s"$parent/$n"
-      val old = Fs.modTimeMs(stage).exists(now - _ > minAgeMs)
+      val old = Fs.newestMtimeMs(stage).exists(now - _ > minAgeMs)
       if (old)
         try Fs.deleteRecursive(stage) catch { case _: Exception => () }
     }

@@ -39,25 +39,12 @@ private[query] sealed trait BlockCache {
   * mt-throughput mode — per-query decode allocations make 16 threads
   * SLOWER than 1, GC-bound). Requires the decoded slice to fit the budget.
   */
-private[query] final class FullDecodeCache(
-    blocks: Array[PostingBlock],
-    /** Decoded entries from a PREVIOUS open of (a superset of) these
-      * block instances — incremental refresh reuses them so re-opening
-      * after a live append decodes only the NEW slices' blocks. Keys are
-      * identity, so only the exact instances a caller retained hit.
-      */
-    prev: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] = null)
+private[query] final class FullDecodeCache(blocks: Array[PostingBlock])
     extends BlockCache {
   private val m = new java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])](blocks.length * 2)
-  private[query] var reusedDecodes = 0
-  blocks.foreach { b =>
-    val p = if (prev != null) prev.get(b) else null
-    if (p != null) { m.put(b, p); reusedDecodes += 1 }
-    else m.put(b, TermPostings.decodeBlock(b))
-  }
+  blocks.foreach(b => m.put(b, TermPostings.decodeBlock(b)))
   val loadedBytes: Long = blocks.iterator.map(Serving.decodedBytes).sum
   def get(b: PostingBlock): (Array[Long], Array[Long]) = m.get(b)
-  private[query] def snapshot: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] = m
 }
 
 /** Bounded decoded-block cache: a slice whose decoded footprint exceeds
@@ -288,23 +275,17 @@ final class ServingIndex private[query] (
     docStore = m
   }
 
+  /** Inject a PREBUILT doc store (shared, immutable by convention) — the
+    * layered `ServingNode` caches one HashMap per slice and re-injects it
+    * into each tick's fresh wrapper, so refresh never rebuilds the doc
+    * maps of untouched slices (`loadDocs` is O(docs) per call).
+    */
+  private[query] def setDocStore(m: java.util.HashMap[Long, DocMeta]): Unit =
+    docStore = m
+
   private[query] def hasDocs: Boolean = docStore != null
   private[query] def docOf(id: Long): DocMeta =
     if (docStore == null) null else docStore.get(id)
-
-  /** Decoded-block identity map when fully pre-decoded (else null) — the
-    * reuse handle for incremental refresh (`ServingNode`).
-    */
-  private[query] def decodedSnapshot
-      : java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] =
-    cache match {
-      case f: FullDecodeCache => f.snapshot
-      case _ => null
-    }
-  private[query] def reusedDecodes: Int = cache match {
-    case f: FullDecodeCache => f.reusedDecodes
-    case _ => 0
-  }
 
   /** Scored hits with stored fields (requires `withDocs` at open). */
   def topKHits(query: String, k: Int): Array[Serving.Hit] = {
@@ -420,9 +401,7 @@ object Serving {
       norms: java.util.HashMap[Integer, (Array[Long], Array[Int])],
       df: java.util.HashMap[String, Long],
       stats: IndexStats,
-      maxBytes: Long,
-      prevDecoded: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])] = null)
-      : ServingIndex = {
+      maxBytes: Long): ServingIndex = {
     val byTerm = new java.util.HashMap[String, Array[PostingBlock]]()
     blocks.groupBy(_.term).foreach { case (t, bs) => byTerm.put(t, bs) }
     val estDecoded = blocks.iterator.map(decodedBytes).sum
@@ -434,7 +413,7 @@ object Serving {
     val fits = estDecoded + posBytes <= maxBytes
     val cacheBudget = if (fits) estDecoded else math.max(maxBytes - posBytes, maxBytes / 16)
     val cache: BlockCache =
-      if (fits) new FullDecodeCache(blocks, prevDecoded)
+      if (fits) new FullDecodeCache(blocks)
       else new ClockDecodeCache(cacheBudget)
     // hot-phrase decoded-positions cache: only the headroom the budget
     // leaves after pre-decoded postings + retained compressed positions —
@@ -561,6 +540,12 @@ final class ServingCluster private[query] (
     docStore: java.util.HashMap[Long, DocMeta]) {
 
   def loadedBytes: Long = shards.map(_.loadedBytes).sum
+
+  /** Corpus-wide stats — every shard carries the same GLOBAL IndexStats
+    * by construction (local scoring with global stats is what makes the
+    * sharded layouts bit-identical).
+    */
+  def stats: IndexStats = shards.head.stats
 
   def topK(query: String, k: Int): Array[(Long, Double)] = {
     val heap = new TopKHeap(k)

@@ -116,19 +116,33 @@ object ServingLayout {
       (0 until nShards(outDir))
         .map(s => openExportedShard(spark, outDir, s, maxBytesPerShard, withDocs)))
 }
-
 /** A serving node that follows a LIVE index: continuous indexing
   * (`StreamIngest.indexStream`) appends slices to the store, and the
   * node re-opens when — and only when — the committed slice set changes,
-  * swapping the in-memory index atomically. Queries in flight keep the
+  * swapping the served index atomically. Queries in flight keep the
   * index they started on and new queries see the refreshed one: the
   * zero-downtime refresh the reference gets from OpenSearch's
-  * per-segment reader reopen. Refresh cost is INCREMENTAL — slice files
-  * are immutable, so unchanged slices keep their cached payloads and
-  * decoded blocks, and a tick reloads only the slice delta. Call
-  * `refresh()` from ONE scheduler thread at the freshness interval the
-  * deployment wants (queries are thread-safe against the published
-  * index; `refresh` itself is single-caller).
+  * per-segment reader reopen. Call `refresh()` from ONE scheduler thread
+  * at the freshness interval the deployment wants (queries are
+  * thread-safe against the published index; `refresh` itself is
+  * single-caller).
+  *
+  * LAYERED, like Lucene's per-segment readers: `current` is a router
+  * (`ServingCluster`) over one immutable sub-index per slice. Slices
+  * partition docID segments exactly as the document shards of
+  * `Serving.openSharded` do, so the k-merge is the same bit-identical
+  * router the sharded gates pin. A refresh (a) reads + decodes ONLY the
+  * delta slices, (b) re-derives the global df/stats from cached
+  * per-slice partials by cloning last tick's df map and applying the
+  * delta, and (c) re-stamps every cached sub-index with the new globals
+  * — a wrapper object per slice, sharing the decoded-block cache, the
+  * norms, and the doc store underneath. Per-tick cost is
+  * O(delta + nSlices + changed vocabulary): no re-decode, no full-index
+  * scan, no doc-store rebuild (a flat merged index would pay O(index)
+  * per tick in re-grouping, re-decoding norms, and rebuilding the doc
+  * map — exactly what breaks at a 1000× index/append ratio). The tiered
+  * merge policy bounds nSlices (default 16), so the router fan-out is a
+  * constant, not a function of stream age.
   */
 final class ServingNode(
     spark: SparkSession,
@@ -137,54 +151,56 @@ final class ServingNode(
     withDocs: Boolean = false) {
   import spark.implicits._
 
-  /** Per-slice raw payloads, keyed by sliceId — slice files are immutable
-    * once committed, so a cached slice never reloads; a merge/compaction
-    * drops the old ids and loads the new one. This makes refresh cost
-    * proportional to the SLICE DELTA, not the index: under the tiered
-    * merge policy the big base slice is rarely rewritten, so a
-    * micro-batch append reloads (and re-decodes) only kilobytes.
-    *
-    * The GLOBAL side state is delta-cached too: per-slice term partials
-    * (df is additive across slices — they partition documents), per-slice
-    * doc counts/token sums (derived from the already-loaded norms, zero
-    * extra reads), and per-slice doc metas. The round-5 node re-scanned
-    * the full terms and docs tables on every tick — at 1000× index/append
-    * ratio those two full scans, not the slice delta, would have been the
-    * refresh cost.
-    */
-  private val sliceBlocks = scala.collection.mutable.Map.empty[Int, Array[PostingBlock]]
-  private val sliceNorms = scala.collection.mutable.Map.empty[Int, Array[SegNorms]]
+  // ---- per-slice immutable payloads (slice files never change once
+  // committed, so none of this reloads or re-decodes for a cached id;
+  // a merge/compaction drops the old ids and loads the merged one) ----
+  private val sliceBlocks =
+    scala.collection.mutable.Map.empty[Int, Array[PostingBlock]]
+  private val sliceByTerm =
+    scala.collection.mutable.Map.empty[Int, java.util.HashMap[String, Array[PostingBlock]]]
+  private val sliceCache = scala.collection.mutable.Map.empty[Int, BlockCache]
+  private val sliceNorms = scala.collection.mutable
+    .Map.empty[Int, java.util.HashMap[Integer, (Array[Long], Array[Int])]]
   private val sliceTerms = scala.collection.mutable.Map.empty[Int, Array[TermStat]]
   private val sliceCounts = scala.collection.mutable.Map.empty[Int, (Long, Long)]
-  private val sliceDocMetas = scala.collection.mutable.Map.empty[Int, Array[DocMeta]]
+  private val sliceDocs =
+    scala.collection.mutable.Map.empty[Int, java.util.HashMap[Long, DocMeta]]
+  private val sliceDecEst = scala.collection.mutable.Map.empty[Int, Long]
+  private val slicePosBytes = scala.collection.mutable.Map.empty[Int, Long]
 
-  /** (nDocs, totalTokens) of a slice from its norms payload — doclens are
-    * the exact per-doc token counts scoring uses, so the merged avgdl is
-    * bit-identical to `IndexStats.fromDocs` over the same snapshot.
-    */
-  private def countsOf(norms: Array[SegNorms]): (Long, Long) = {
-    var n = 0L
-    var tok = 0L
-    norms.foreach { nm =>
-      n += nm.n
-      var i = 0
-      while (i < nm.n) { tok += VByte.unpackIntAt(nm.doclens, i); i += 1 }
-    }
-    (n, tok)
-  }
+  // ---- global side state, cloned + delta'd per tick. The served
+  // wrappers hold last tick's df map by reference, so it is NEVER
+  // mutated in place — the next tick clones it (O(vocab) pointer
+  // copies), subtracts dropped slices' partials and adds loaded ones. ----
+  private var globalDf: java.util.HashMap[String, Long] = null
 
-  /** Refresh observability: slices loaded / dropped and decoded blocks
-    * reused on the last (re)open.
+  // ---- decoded-postings budget state. Mirrors `Serving.assemble`'s
+  // policy at node scope: when every slice's decoded postings + retained
+  // positions fit `maxBytes`, each slice pre-decodes fully at load (the
+  // allocation-free mt mode) and the leftover headroom funds ONE shared
+  // hot-phrase positions cache; otherwise all slices share ONE bounded
+  // CLOCK decode cache (entries keyed by block identity, so a dropped
+  // slice's entries age out by eviction). Mode transitions rebuild the
+  // affected caches — rare (the budget boundary is crossed once as the
+  // index grows) and flagged by lastReusedDecodes dropping to 0. ----
+  private var fitsMode: Boolean = true
+  private var sharedClock: ClockDecodeCache = null
+  private var sharedClockBudget: Long = -1L
+  private var sharedPosCache: Option[ClockCache[Serving.DecodedPositions]] = None
+  private var posCacheBudget: Long = -1L
+
+  /** Refresh observability: slices loaded / dropped on the last (re)open,
+    * and decoded blocks carried over (blocks of retained slices whose
+    * decode cache survived the tick — 0 right after a budget-mode
+    * transition, which re-decodes lazily or eagerly per the new mode).
     */
   @volatile var lastLoadedSlices: Int = 0
   @volatile var lastDroppedSlices: Int = 0
   @volatile var lastReusedDecodes: Int = 0
 
-  @volatile private var state: (Seq[SliceMeta], ServingIndex) = load(null)
+  @volatile private var state: (Seq[SliceMeta], ServingCluster) = load()
 
-  private def load(
-      prevDecoded: java.util.IdentityHashMap[PostingBlock, (Array[Long], Array[Long])])
-      : (Seq[SliceMeta], ServingIndex) = {
+  private def load(): (Seq[SliceMeta], ServingCluster) = {
     // ONE manifest snapshot drives every read below — blocks, norms,
     // terms, stats, and docs all come from the same committed slice set,
     // so a concurrent append/merge can never mix old blocks with new
@@ -194,92 +210,184 @@ final class ServingNode(
     val ids = slices.map(_.sliceId).toSet
     val newIds = (ids -- sliceBlocks.keySet).toSeq.sorted
     val dropped = sliceBlocks.keySet.toSet -- ids
-    // EVERY read happens first — per-slice payloads AND the small global
-    // tables; caches and observability counters mutate only after all of
-    // them succeeded. A failure mid-load (transient FS error, or — only
-    // if the deployment's vacuum grace window is shorter than a refresh —
-    // a reclaimed superseded slice) leaves the node's state — caches and
-    // counters both — exactly as it was. Merges themselves never delete
-    // files anymore: superseded slices sit on the manifest dead-list
-    // until `IndexStore.vacuum`'s grace window passes.
-    // delta-only reads: per NEW slice — postings, norms, term partials,
-    // and (withDocs) doc metas. The global df map, corpus stats, and doc
-    // store then MERGE from the per-slice caches in memory: a refresh
-    // runs ZERO full-index scans, so tick cost tracks the slice delta
-    // even when the index is 1000× the append.
+    val sortedIds = ids.toSeq.sorted
+
+    // ---- READ + DECODE phase: only the delta slices. Everything lands
+    // in locals; caches and counters commit at the end, so a failure
+    // anywhere (transient FS error, or — only if the deployment's vacuum
+    // grace window is shorter than a refresh — a reclaimed superseded
+    // slice) leaves the node exactly as it was. Merges themselves never
+    // delete files: superseded slices sit on the manifest dead-list
+    // until `IndexStore.vacuum`'s grace window passes. ----
     val loaded = newIds.map { id =>
-      (id,
-        spark.read.parquet(store.slicePath("postings", id)).as[PostingBlock].collect(),
-        spark.read.parquet(store.slicePath("norms", id)).as[SegNorms].collect(),
-        spark.read.parquet(store.slicePath("terms", id)).as[TermStat].collect(),
-        if (withDocs)
-          spark.read.parquet(store.slicePath("docs", id))
-            .select(col("doc_id"), col("url"), col("doclen").cast("int").as("doclen"), col("lang"))
+      val blocks =
+        spark.read.parquet(store.slicePath("postings", id)).as[PostingBlock].collect()
+      val norms = Serving.normsMapOf(
+        spark.read.parquet(store.slicePath("norms", id)).as[SegNorms].collect())
+      val terms =
+        spark.read.parquet(store.slicePath("terms", id)).as[TermStat].collect()
+      val docs =
+        if (!withDocs) null
+        else {
+          val metas = spark.read.parquet(store.slicePath("docs", id))
+            .select(col("doc_id"), col("url"),
+              col("doclen").cast("int").as("doclen"), col("lang"))
             .as[DocMeta].collect()
-        else null)
+          val m = new java.util.HashMap[Long, DocMeta](metas.length * 2)
+          metas.foreach(d => m.put(d.doc_id, d))
+          m
+        }
+      val byTerm = new java.util.HashMap[String, Array[PostingBlock]]()
+      blocks.groupBy(_.term).foreach { case (t, bs) => byTerm.put(t, bs) }
+      // (nDocs, totalTokens) from the decoded doclens — the exact per-doc
+      // token counts scoring uses, so the merged avgdl is bit-identical
+      // to IndexStats.fromDocs over the same snapshot
+      var n = 0L
+      var tok = 0L
+      norms.forEach { (_, v) =>
+        n += v._1.length
+        var i = 0
+        while (i < v._2.length) { tok += v._2(i); i += 1 }
+      }
+      (id, blocks, byTerm, norms, terms, (n, tok), docs,
+        blocks.iterator.map(Serving.decodedBytes).sum,
+        blocks.iterator.map(Serving.positionBytes).sum)
+    }
+    val loadedById = loaded.iterator.map(l => l._1 -> l).toMap
+    def blocksOf(id: Int) = loadedById.get(id).map(_._2).getOrElse(sliceBlocks(id))
+    def byTermOf(id: Int) = loadedById.get(id).map(_._3).getOrElse(sliceByTerm(id))
+    def normsOf(id: Int) = loadedById.get(id).map(_._4).getOrElse(sliceNorms(id))
+    def termsOf(id: Int) = loadedById.get(id).map(_._5).getOrElse(sliceTerms(id))
+    def cntOf(id: Int) = loadedById.get(id).map(_._6).getOrElse(sliceCounts(id))
+    def docsOf(id: Int) = loadedById.get(id).map(_._7).getOrElse(sliceDocs(id))
+    def decEstOf(id: Int) = loadedById.get(id).map(_._8).getOrElse(sliceDecEst(id))
+    def posOf(id: Int) = loadedById.get(id).map(_._9).getOrElse(slicePosBytes(id))
+
+    // ---- budget plan over the NEW slice set ----
+    val totDec = sortedIds.iterator.map(decEstOf).sum
+    val totPos = sortedIds.iterator.map(posOf).sum
+    val fits = totDec + totPos <= maxBytes
+    val newCaches = scala.collection.mutable.Map.empty[Int, BlockCache]
+    val carried = scala.collection.mutable.Set.empty[Int]
+    var clock = sharedClock
+    var clockBudget = sharedClockBudget
+    if (fits) {
+      clock = null; clockBudget = -1L
+      sortedIds.foreach { id =>
+        sliceCache.get(id) match {
+          case Some(f: FullDecodeCache) if fitsMode =>
+            newCaches(id) = f; carried += id // pre-decodes survive untouched
+          case _ =>
+            newCaches(id) = new FullDecodeCache(blocksOf(id)) // decode now
+        }
+      }
+    } else {
+      val budget = math.max(maxBytes - totPos, maxBytes / 16)
+      if (clock == null || budget < clockBudget) {
+        // first bounded tick, or the unevictable positions grew into the
+        // cache's budget: a fresh (smaller) cache re-decodes lazily
+        clock = new ClockDecodeCache(budget); clockBudget = budget
+      } else if (!fitsMode) {
+        // same shared cache keeps serving — retained decodes stay hot
+        carried ++= ids.filterNot(newIds.contains)
+      }
+      sortedIds.foreach(id => newCaches(id) = clock)
     }
 
-    // merge through loaded-else-cache VIEWS: the caches and counters
-    // commit only after assemble + loadDocs succeed too — a decode
-    // failure mid-assemble must leave the node's state (serving index,
-    // caches, AND observability counters) exactly as it was, or the next
-    // successful refresh would report lastLoadedSlices=0 for the tick
-    // that actually published the data (breaking the refresh-cost-
-    // tracks-delta evidence the bench's live phase ships)
-    val loadedById = loaded.iterator.map(l => l._1 -> l).toMap
-    val loadedCounts = loaded.iterator.map(l => l._1 -> countsOf(l._3)).toMap
-    def blocksOf(id: Int) = loadedById.get(id).map(_._2).getOrElse(sliceBlocks(id))
-    def normsOf(id: Int) = loadedById.get(id).map(_._3).getOrElse(sliceNorms(id))
-    def termsOf(id: Int) = loadedById.get(id).map(_._4).getOrElse(sliceTerms(id))
-    def cntOf(id: Int) = loadedCounts.getOrElse(id, sliceCounts(id))
-    def metasOf(id: Int) = loadedById.get(id).map(_._5).getOrElse(sliceDocMetas(id))
-    val sortedIds = ids.toSeq.sorted
-    val blocks = sortedIds.iterator.flatMap(blocksOf).toArray
-    val norms = Serving.normsMapOf(sortedIds.iterator.flatMap(normsOf).toArray)
-    // df partials are additive (slices partition documents); the merged
-    // sum over longs equals the round-5 groupBy-sum exactly
-    val df = new java.util.HashMap[String, Long]()
-    sortedIds.foreach(id =>
-      termsOf(id).foreach(t => df.put(t.term, df.get(t.term) + t.df)))
+    // ---- global df: clone + delta. Subtract dropped partials FIRST
+    // (a merge both drops and adds the same terms), removing exact-zero
+    // entries — topK gates query terms on containsKey, so a dead term
+    // must disappear, not linger at df=0. java.util.HashMap unboxes a
+    // missing get to 0L in Scala, which is exactly the additive identity
+    // the adds need. ----
+    val df =
+      if (globalDf == null) new java.util.HashMap[String, Long]()
+      else new java.util.HashMap[String, Long](globalDf)
+    dropped.foreach { id =>
+      termsOf(id).foreach { t =>
+        val left = df.get(t.term) - t.df
+        if (left <= 0L) df.remove(t.term) else df.put(t.term, left)
+      }
+    }
+    loaded.foreach(l => l._5.foreach(t => df.put(t.term, df.get(t.term) + t.df)))
+
+    // ---- corpus stats from cached per-slice counts (same arithmetic as
+    // IndexStats.fromDocs over this snapshot's docs) ----
     var nDocs = 0L
     var totTokens = 0L
     sortedIds.foreach { id =>
       val (a, b) = cntOf(id); nDocs += a; totTokens += b
     }
-    // same arithmetic as IndexStats.fromDocs over this snapshot's docs
     val stats = IndexStats(nDocs,
       if (nDocs == 0) 0.0 else totTokens.toDouble / nDocs, df.size().toLong, totTokens)
-    val si = Serving.assemble(blocks, norms, df, stats, maxBytes, prevDecoded)
-    if (withDocs)
-      si.loadDocs(sortedIds.iterator.flatMap(metasOf).toArray)
-    // COMMIT — everything above succeeded
-    loaded.foreach { case (id, b, n, t, dm) =>
-      sliceBlocks(id) = b; sliceNorms(id) = n; sliceTerms(id) = t
-      sliceCounts(id) = loadedCounts(id)
-      if (withDocs) sliceDocMetas(id) = dm
+
+    // ---- shared hot-phrase positions cache from the budget headroom
+    // (fits mode only, like the flat open). Keyed by block identity, so
+    // keeping it across ticks preserves hot decodes; recreate only when
+    // the headroom SHRANK below its budget (it must never overrun). ----
+    var posC = sharedPosCache
+    var posB = posCacheBudget
+    val headroom = maxBytes - totDec - totPos
+    if (fits && totPos > 0 && headroom > 0) {
+      if (posC.isEmpty || headroom < posB) {
+        posC = Some(new ClockCache[Serving.DecodedPositions](
+          headroom, Serving.decodePositionsOf, (_, v) => Serving.decodedPositionBytes(v)))
+        posB = headroom
+      }
+    } else { posC = None; posB = -1L }
+
+    // ---- node-level budget accounting, stamped on every wrapper ----
+    val cacheBudget = if (fits) totDec else clockBudget
+    val report = Serving.OpenReport(
+      maxBytes = maxBytes,
+      estDecodedBytes = totDec,
+      retainedPositionBytes = totPos,
+      cacheBudgetBytes = cacheBudget,
+      bounded = !fits,
+      overBudget = totPos + cacheBudget > maxBytes)
+
+    // ---- wrappers + router: O(nSlices) object constructions sharing
+    // the cached payloads; no decode, no rebuild. NOTE loadedBytes sums
+    // per-shard, so the shared bounded cache is counted once per slice —
+    // use the report for budget math in bounded mode. ----
+    val shards = sortedIds.map { id =>
+      val si = new ServingIndex(byTermOf(id), newCaches(id), normsOf(id),
+        df, stats, posOf(id), posC, report)
+      if (withDocs) si.setDocStore(docsOf(id))
+      si
+    }.toIndexedSeq
+    val cluster = Serving.clusterOf(shards)
+
+    // ---- COMMIT — everything above succeeded ----
+    loaded.foreach { case (id, blocks, byTerm, norms, terms, cnt, docs, dec, pos) =>
+      sliceBlocks(id) = blocks; sliceByTerm(id) = byTerm; sliceNorms(id) = norms
+      sliceTerms(id) = terms; sliceCounts(id) = cnt
+      if (withDocs) sliceDocs(id) = docs
+      sliceDecEst(id) = dec; slicePosBytes(id) = pos
     }
     dropped.foreach { id =>
-      sliceBlocks.remove(id); sliceNorms.remove(id); sliceTerms.remove(id)
-      sliceCounts.remove(id); sliceDocMetas.remove(id)
+      sliceBlocks.remove(id); sliceByTerm.remove(id); sliceNorms.remove(id)
+      sliceTerms.remove(id); sliceCounts.remove(id); sliceDocs.remove(id)
+      sliceDecEst.remove(id); slicePosBytes.remove(id); sliceCache.remove(id)
     }
+    newCaches.foreach { case (id, c) => sliceCache(id) = c }
+    globalDf = df
+    fitsMode = fits
+    sharedClock = clock
+    sharedClockBudget = clockBudget
+    sharedPosCache = posC
+    posCacheBudget = posB
     lastLoadedSlices = newIds.size
     lastDroppedSlices = dropped.size
-    lastReusedDecodes = si.reusedDecodes
-    (slices, si)
+    lastReusedDecodes = carried.iterator.map(id => blocksOf(id).length).sum
+    (slices, cluster)
   }
 
   /** The index serving new queries right now (stable reference — hold it
     * for a multi-call exchange like query-then-fetch).
     */
-  def current: ServingIndex = state._2
+  def current: ServingCluster = state._2
 
-  /** Re-open if the committed slice set changed; true when a new index
-    * was swapped in. Slice metas identify content: commits are atomic
-    * manifest renames and slice files are immutable once committed.
-    * Unchanged slices keep their block instances AND their decoded
-    * postings (identity reuse through the new index's cache), so the
-    * decode work is bounded by the delta.
-    */
   /** Last refresh failure, if the most recent attempt failed (cleared on
     * success) — false-from-failure is distinguishable from
     * false-from-no-change, so monitoring can tell "retry next tick" from
@@ -287,13 +395,19 @@ final class ServingNode(
     */
   @volatile var lastRefreshError: Option[Throwable] = None
 
+  /** Re-open if the committed slice set changed; true when a new index
+    * was swapped in. Slice metas identify content: commits are atomic
+    * manifest renames and slice files are immutable once committed.
+    * Unchanged slices keep their sub-index payloads AND their decoded
+    * postings, so the decode work is bounded by the delta.
+    */
   def refresh(): Boolean = {
     val seen = state._1
     val now = store.committedSlices
     if (now == seen) false
     else
       try {
-        state = load(state._2.decodedSnapshot)
+        state = load()
         lastRefreshError = None
         true
       } catch {

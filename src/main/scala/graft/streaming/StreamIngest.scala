@@ -91,8 +91,20 @@ object StreamIngest {
     * downstream read ("conflicting directory structures"). Catch it at
     * the first write with a migration message instead of poisoning the
     * table.
+    *
+    * Validated roots are memoized per JVM: a flat table can only PRE-EXIST
+    * the stream's first batch-keyed write (every later write from this
+    * process is batch-keyed by construction), so re-listing the root every
+    * micro-batch would pay O(batches) directory entries per tick —
+    * O(B²) over a long-lived stream's life, one LIST round-trip per 1000
+    * keys per tick on an object store — to guard against a state that can
+    * no longer arise.
     */
+  private val validatedLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def requireBatchLayout(path: String, what: String): Unit = {
+    if (validatedLayouts.contains(path)) return
     val flat = graft.ingest.Fs.childNames(path)
       .filterNot(n => n.startsWith("_") || n.startsWith(".") || n.startsWith("batch="))
     require(flat.isEmpty,
@@ -101,6 +113,8 @@ object StreamIngest {
         "(replay-idempotent overwrite); migrate the existing flat files " +
         "into a batch=<id> subdirectory (e.g. batch=-1) or point the " +
         "stream at a fresh table")
+    validatedLayouts.add(path)
+    ()
   }
 
   /** Continuous indexing: stream documents (url, text, lang) straight into

@@ -298,4 +298,50 @@ class IndexSpec extends AnyFunSuite {
     assert(txt.nonEmpty)
     store.dropAll()
   }
+
+  test("recommitting a dead slice id revives it — vacuum never deletes a committed id's files") {
+    // the collision: a store is merged (old ids dead-listed, files
+    // retained for in-flight readers), then a fixed-id rebuild (the
+    // builder always allocates ids 0..n-1) overwrites and RECOMMITS one
+    // of those ids. The manifest must never hold an id both committed and
+    // dead — a ripened dead entry would make vacuum delete the LIVE
+    // slice's files and poison every later query.
+    val store = freshStore()
+    def mkFiles(id: Int): Unit =
+      Seq("postings", "terms", "norms", "docs").foreach { t =>
+        val d = java.nio.file.Paths.get(store.slicePath(t, id))
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.writeString(d.resolve("part-0.parquet"), "x")
+      }
+    def liveFilesIntact(id: Int): Boolean =
+      Seq("postings", "terms", "norms", "docs").forall(t =>
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(store.slicePath(t, id), "part-0.parquet")))
+    mkFiles(0)
+    store.commitSlice(SliceMeta(0, 0, 3, 10L, 100L, 4L, 1234L, 1L))
+    // simulate the pre-revive state (or a hand-edited manifest): slice 0
+    // committed AND dead-listed, superseded long ago
+    val mf = java.nio.file.Paths.get(store.root, "manifest.json")
+    store.setManifestProps(Map("zz.marker" -> "1"))
+    java.nio.file.Files.writeString(mf,
+      java.nio.file.Files.readString(mf).replace(
+        "\"zz.marker\":\"1\"", "\"zz.marker\":\"1\",\"dead.0\":\"1\""))
+    assert(store.deadSlices.contains(0), "test setup: dead entry visible")
+    // vacuum must NOT delete the committed id's files — it heals the
+    // manifest by dropping the stale entry without reclaiming anything
+    assert(store.vacuum(0L) == (0, 0L))
+    assert(liveFilesIntact(0), "vacuum deleted a committed slice's files")
+    assert(store.deadSlices.isEmpty, "stale dead entry must be healed away")
+    // and the commit paths enforce the invariant at the source: a commit
+    // of a dead id drops its dead entry in the SAME atomic rename
+    java.nio.file.Files.writeString(mf,
+      java.nio.file.Files.readString(mf).replace(
+        "\"zz.marker\":\"1\"", "\"zz.marker\":\"1\",\"dead.0\":\"1\""))
+    assert(store.deadSlices.contains(0))
+    mkFiles(0) // the rebuild overwrites the files, then recommits the id
+    store.commitSlice(SliceMeta(0, 0, 3, 12L, 120L, 5L, 2345L, 2L))
+    assert(store.deadSlices.isEmpty, "commitSlice must revive the id")
+    assert(store.vacuum(0L) == (0, 0L) && liveFilesIntact(0))
+    store.dropAll()
+  }
 }

@@ -625,16 +625,27 @@ class IngestSpec extends AnyFunSuite {
     }
     // orphaned stages are garbage (the failed unit re-ingests under
     // resume) — the grace-window vacuum reclaims aged ones and spares a
-    // concurrent driver's fresh in-flight stage
+    // concurrent driver's fresh in-flight stage. Staleness is the newest
+    // mtime across the stage's WHOLE tree: a stage whose root is old but
+    // whose files are fresh is a LIVE long-running write, not garbage.
     val orphan = Files.list(Paths.get(dir)).iterator().asScala
       .find(_.getFileName.toString.startsWith("t2.__stage-")).get
     val fresh = Paths.get(s"$dir/t2.__stage-fresh123")
     Files.createDirectories(fresh)
-    Files.setLastModifiedTime(orphan,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L))
+    val aged = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L)
+    // age the orphan's entire tree (root + every descendant)
+    Files.walk(orphan).iterator().asScala.foreach(Files.setLastModifiedTime(_, aged))
+    // a stage with an OLD root but a FRESH file deep inside = in-flight write
+    val inflight = Paths.get(s"$dir/t2.__stage-inflight1")
+    Files.createDirectories(inflight.resolve("_temporary").resolve("0"))
+    Files.writeString(inflight.resolve("_temporary").resolve("0").resolve("part-x"), "w")
+    Files.setLastModifiedTime(inflight, aged)
+    Files.setLastModifiedTime(inflight.resolve("_temporary"), aged)
     StagedAppend.vacuumStages(s"$dir/t2", minAgeMs = 3600_000L)
     assert(!Files.exists(orphan), "aged orphan stage must be vacuumed")
     assert(Files.exists(fresh), "fresh (possibly in-flight) stage must be spared")
+    assert(Files.exists(inflight),
+      "a stage with any fresh descendant is a live write and must be spared")
   }
 
   test("crashed counter advance (tmp is the only copy) heals: promoted to main, never truncated in place") {
