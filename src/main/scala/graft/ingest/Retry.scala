@@ -143,22 +143,29 @@ object Fs {
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
   }
 
-  /** Newest modtime across a path's whole tree (the root dir, every
-    * descendant dir, and every file), or None if the path is missing.
-    * Activity detection for in-flight write trees: a directory's OWN
+  /** True when ANY entry in the path's tree (the root dir, every
+    * descendant dir, every file) has a modtime at or after `cutoffMs` —
+    * activity detection for in-flight write trees. A directory's OWN
     * mtime freezes once its direct children exist (task files land
-    * levels below), so "is anything still writing here" must take the
-    * max over the tree, not the root.
+    * levels below), so "is anything still writing here" must consider
+    * the whole tree, not the root. Short-circuits on the first fresh
+    * entry (an in-flight stage proves itself live after a handful of
+    * entries — never a full O(files) walk per probe), and treats a
+    * vanished entry or listing failure as ACTIVITY (a concurrent writer
+    * or cleaner is mutating the tree right now — the conservative answer
+    * for a caller deciding whether it is safe to delete). A missing root
+    * is NOT activity: there is nothing to delete.
     */
-  def newestMtimeMs(path: String): Option[Long] = {
+  def anyMtimeAtOrAfter(path: String, cutoffMs: Long): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return None
-    def walk(st: org.apache.hadoop.fs.FileStatus): Long =
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(st.getPath).toSeq.map(walk)).max
-    Some(walk(fs.getFileStatus(p)))
+    try {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return false
+      def walk(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        st.getModificationTime >= cutoffMs ||
+          (st.isDirectory && fs.listStatus(st.getPath).exists(walk))
+      walk(fs.getFileStatus(p))
+    } catch { case _: Exception => true }
   }
 
   def deleteRecursive(path: String): Boolean = {
@@ -243,8 +250,12 @@ object StagedAppend {
     val now = System.currentTimeMillis()
     Fs.childNames(parent).filter(_.startsWith(prefix)).foreach { n =>
       val stage = s"$parent/$n"
-      val old = Fs.newestMtimeMs(stage).exists(now - _ > minAgeMs)
-      if (old)
+      // the probe short-circuits on the first fresh entry and reports
+      // ACTIVITY on any mid-walk mutation (a concurrent writer/cleaner) —
+      // both mean "not garbage yet"; Fs.exists guards the vanished-root
+      // case (nothing left to delete)
+      val live = Fs.anyMtimeAtOrAfter(stage, now - minAgeMs)
+      if (!live && Fs.exists(stage))
         try Fs.deleteRecursive(stage) catch { case _: Exception => () }
     }
   }

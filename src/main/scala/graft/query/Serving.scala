@@ -136,6 +136,12 @@ final class ServingIndex private[query] (
   def loadedBytes: Long =
     cache.loadedBytes + retainedPositionBytes +
       posCache.map(_.loadedBytes).getOrElse(0L)
+
+  // cache identities, for footprint accounting that must not multi-count
+  // caches SHARED across shards (the layered ServingNode's bounded decode
+  // cache and hot-phrase positions cache)
+  private[query] def blockCacheRef: BlockCache = cache
+  private[query] def posCacheRef: Option[ClockCache[Serving.DecodedPositions]] = posCache
   /** True when the decoded slice exceeded the budget and the node serves
     * through the bounded cache (partial pre-decode).
     */
@@ -539,7 +545,24 @@ final class ServingCluster private[query] (
     val shards: IndexedSeq[ServingIndex],
     docStore: java.util.HashMap[Long, DocMeta]) {
 
-  def loadedBytes: Long = shards.map(_.loadedBytes).sum
+  /** Total decoded/retained footprint, counting each cache ONCE — the
+    * layered `ServingNode`'s shards share one bounded decode cache (or
+    * one hot-phrase positions cache), and summing per-shard loadedBytes
+    * would multi-count it nShards times. Independent shards (openSharded,
+    * exported opens) have distinct caches, so the dedup is a no-op there.
+    */
+  def loadedBytes: Long = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    var total = 0L
+    shards.foreach { s =>
+      total += s.retainedPositionBytes
+      val c = s.blockCacheRef
+      if (seen.add(c)) total += c.loadedBytes
+      s.posCacheRef.foreach(pc => if (seen.add(pc)) total += pc.loadedBytes)
+    }
+    total
+  }
 
   /** Corpus-wide stats — every shard carries the same GLOBAL IndexStats
     * by construction (local scoring with global stats is what makes the

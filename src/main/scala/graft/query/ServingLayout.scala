@@ -167,6 +167,11 @@ final class ServingNode(
     scala.collection.mutable.Map.empty[Int, java.util.HashMap[Long, DocMeta]]
   private val sliceDecEst = scala.collection.mutable.Map.empty[Int, Long]
   private val slicePosBytes = scala.collection.mutable.Map.empty[Int, Long]
+  // content identity of each cached slice — the FULL SliceMeta, not the
+  // id: a fixed-id rebuild (which the dead-list revive legitimizes)
+  // recommits an existing id with NEW content, and keying the caches on
+  // id alone would silently serve the stale payload forever
+  private val sliceMetaOf = scala.collection.mutable.Map.empty[Int, SliceMeta]
 
   // ---- global side state, cloned + delta'd per tick. The served
   // wrappers hold last tick's df map by reference, so it is NEVER
@@ -208,7 +213,13 @@ final class ServingNode(
     val slices = store.committedSlices
     require(slices.nonEmpty, s"nothing committed at ${store.root}")
     val ids = slices.map(_.sliceId).toSet
-    val newIds = (ids -- sliceBlocks.keySet).toSeq.sorted
+    val metaById = slices.map(s => s.sliceId -> s).toMap
+    // an id cached under a DIFFERENT meta was recommitted with new
+    // content: reload it like a new slice, and retire its old partials
+    // from the global merge like a dropped one
+    val changed = sliceBlocks.keySet.toSet
+      .intersect(ids).filter(id => sliceMetaOf(id) != metaById(id))
+    val newIds = ((ids -- sliceBlocks.keySet) ++ changed).toSeq.sorted
     val dropped = sliceBlocks.keySet.toSet -- ids
     val sortedIds = ids.toSeq.sorted
 
@@ -275,7 +286,9 @@ final class ServingNode(
       clock = null; clockBudget = -1L
       sortedIds.foreach { id =>
         sliceCache.get(id) match {
-          case Some(f: FullDecodeCache) if fitsMode =>
+          // only an UNCHANGED cached slice carries its pre-decodes — a
+          // recommitted id's old cache holds the stale blocks
+          case Some(f: FullDecodeCache) if fitsMode && !loadedById.contains(id) =>
             newCaches(id) = f; carried += id // pre-decodes survive untouched
           case _ =>
             newCaches(id) = new FullDecodeCache(blocksOf(id)) // decode now
@@ -303,8 +316,11 @@ final class ServingNode(
     val df =
       if (globalDf == null) new java.util.HashMap[String, Long]()
       else new java.util.HashMap[String, Long](globalDf)
-    dropped.foreach { id =>
-      termsOf(id).foreach { t =>
+    // dropped AND changed ids leave with their OLD cached partials (for a
+    // changed id, termsOf would return the newly-loaded ones); changed
+    // ids then re-enter with their new partials in the adds below
+    (dropped ++ changed).foreach { id =>
+      sliceTerms(id).foreach { t =>
         val left = df.get(t.term) - t.df
         if (left <= 0L) df.remove(t.term) else df.put(t.term, left)
       }
@@ -347,9 +363,10 @@ final class ServingNode(
       overBudget = totPos + cacheBudget > maxBytes)
 
     // ---- wrappers + router: O(nSlices) object constructions sharing
-    // the cached payloads; no decode, no rebuild. NOTE loadedBytes sums
-    // per-shard, so the shared bounded cache is counted once per slice —
-    // use the report for budget math in bounded mode. ----
+    // the cached payloads; no decode, no rebuild. The cluster's
+    // loadedBytes identity-dedups the shared caches, so footprint
+    // accounting stays honest even though every wrapper references the
+    // same bounded decode cache / positions cache. ----
     val shards = sortedIds.map { id =>
       val si = new ServingIndex(byTermOf(id), newCaches(id), normsOf(id),
         df, stats, posOf(id), posC, report)
@@ -371,6 +388,8 @@ final class ServingNode(
       sliceDecEst.remove(id); slicePosBytes.remove(id); sliceCache.remove(id)
     }
     newCaches.foreach { case (id, c) => sliceCache(id) = c }
+    sliceMetaOf.clear()
+    slices.foreach(s => sliceMetaOf(s.sliceId) = s)
     globalDf = df
     fitsMode = fits
     sharedClock = clock

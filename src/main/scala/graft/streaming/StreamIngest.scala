@@ -92,13 +92,16 @@ object StreamIngest {
     * the first write with a migration message instead of poisoning the
     * table.
     *
-    * Validated roots are memoized per JVM: a flat table can only PRE-EXIST
-    * the stream's first batch-keyed write (every later write from this
-    * process is batch-keyed by construction), so re-listing the root every
-    * micro-batch would pay O(batches) directory entries per tick —
-    * O(B²) over a long-lived stream's life, one LIST round-trip per 1000
-    * keys per tick on an object store — to guard against a state that can
-    * no longer arise.
+    * Validated roots are memoized per JVM: every later write from this
+    * process is batch-keyed by construction, so re-listing the root every
+    * micro-batch would pay O(batches) directory entries per tick — O(B²)
+    * over a long-lived stream's life, one LIST round-trip per 1000 keys
+    * per tick on an object store. The per-batch re-check would also not
+    * BUY anything against an external legacy writer appending flat files
+    * mid-stream: the moment that flat file lands, the table's reads are
+    * poisoned regardless of whether this stream's next write refuses —
+    * the guard exists to catch the pre-existing-table migration case,
+    * which the first-write check covers fully.
     */
   private val validatedLayouts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

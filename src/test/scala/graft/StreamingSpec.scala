@@ -397,6 +397,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(node.current.topK("the web crawl", 10).toSeq == before3)
   }
 
+  test("ServingNode: an in-place rebuild recommitting the same slice ids reloads — never serves stale content") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{OracleScorer, ServingNode}
+    val base = Files.createTempDirectory("graft-servnode-rebuild-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16)
+    val all = Corpus.pages(spark, 400).toDF()
+      .withColumn("doc_id", regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long"))
+      .select("doc_id", "url", "text", "lang").cache()
+    val corpusA = all.filter(col("doc_id") < 200)
+    val corpusB = all.filter(col("doc_id") >= 100) // different content AND size
+    IndexBuilder.build(spark, corpusA, store, cfg)
+    val node = new ServingNode(spark, store, maxBytes = 2L << 30)
+    assert(node.current.stats.nDocs == 200)
+    // a fixed-id rebuild (the flow the dead-list revive legitimizes)
+    // recommits slice ids 0..n-1 with NEW content — the node's delta
+    // detection must key on the slice META, not the id, or it would
+    // assemble the new manifest entirely from stale cached payloads and
+    // serve the pre-rebuild corpus forever with no error signal
+    IndexBuilder.build(spark, corpusB, store, cfg, fresh = true)
+    assert(node.refresh(), "changed metas must trigger a reload")
+    assert(node.current.stats.nDocs == 300,
+      "recommitted ids must reload, not serve stale caches")
+    val oracle = OracleScorer.topK(spark, corpusB, "the web crawl", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(node.current.topK("the web crawl", 10).toSeq == oracle)
+    all.unpersist()
+  }
+
   test("reader-safe slice GC: pre-merge reader completes bit-identically after a concurrent merge; vacuum honors grace then reclaims") {
     import java.nio.file.Paths
     import graft.index.{IndexBuilder, IndexStore}
