@@ -158,14 +158,21 @@ object Fs {
     */
   def anyMtimeAtOrAfter(path: String, cutoffMs: Long): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    try {
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) return false
-      def walk(st: org.apache.hadoop.fs.FileStatus): Boolean =
-        st.getModificationTime >= cutoffMs ||
-          (st.isDirectory && fs.listStatus(st.getPath).exists(walk))
-      walk(fs.getFileStatus(p))
-    } catch { case _: Exception => true }
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    // ONLY a not-found mid-walk maps to "activity" — that is precisely a
+    // concurrent writer/cleaner mutating the tree. Other failures
+    // (permissions, FS outages) PROPAGATE: mapping them to "live forever"
+    // would silently disable GC with no signal to the operator.
+    def walk(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime >= cutoffMs || (st.isDirectory && {
+        val kids =
+          try fs.listStatus(st.getPath)
+          catch { case _: java.io.FileNotFoundException => return true }
+        kids.exists(walk)
+      })
+    try walk(fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => true }
   }
 
   def deleteRecursive(path: String): Boolean = {
@@ -248,15 +255,31 @@ object StagedAppend {
     val parent = dir.substring(0, cut)
     val prefix = dir.substring(cut + 1) + ".__stage-"
     val now = System.currentTimeMillis()
-    Fs.childNames(parent).filter(_.startsWith(prefix)).foreach { n =>
+    // GC must never kill the ingest it runs inside of: every per-stage
+    // failure (and a failed parent listing) degrades to a WARNED skip —
+    // loud enough that a persistently failing probe (permissions, FS
+    // outage) is visible instead of silently sparing garbage forever.
+    // InterruptedException stays fatal (NonFatal excludes it).
+    val names =
+      try Fs.childNames(parent)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] stage vacuum: cannot list $parent — skipped ($e)")
+          return
+      }
+    names.filter(_.startsWith(prefix)).foreach { n =>
       val stage = s"$parent/$n"
-      // the probe short-circuits on the first fresh entry and reports
-      // ACTIVITY on any mid-walk mutation (a concurrent writer/cleaner) —
-      // both mean "not garbage yet"; Fs.exists guards the vanished-root
-      // case (nothing left to delete)
-      val live = Fs.anyMtimeAtOrAfter(stage, now - minAgeMs)
-      if (!live && Fs.exists(stage))
-        try Fs.deleteRecursive(stage) catch { case _: Exception => () }
+      try {
+        // the probe short-circuits on the first fresh entry and reports
+        // ACTIVITY when an entry vanishes mid-walk (a concurrent
+        // writer/cleaner) — both mean "not garbage yet"; a vanished root
+        // reports no activity and the delete is then a no-op
+        if (!Fs.anyMtimeAtOrAfter(stage, now - minAgeMs))
+          Fs.deleteRecursive(stage)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] stage vacuum: skipped $stage ($e)")
+      }
     }
   }
 }

@@ -268,7 +268,6 @@ final class ServingNode(
     def blocksOf(id: Int) = loadedById.get(id).map(_._2).getOrElse(sliceBlocks(id))
     def byTermOf(id: Int) = loadedById.get(id).map(_._3).getOrElse(sliceByTerm(id))
     def normsOf(id: Int) = loadedById.get(id).map(_._4).getOrElse(sliceNorms(id))
-    def termsOf(id: Int) = loadedById.get(id).map(_._5).getOrElse(sliceTerms(id))
     def cntOf(id: Int) = loadedById.get(id).map(_._6).getOrElse(sliceCounts(id))
     def docsOf(id: Int) = loadedById.get(id).map(_._7).getOrElse(sliceDocs(id))
     def decEstOf(id: Int) = loadedById.get(id).map(_._8).getOrElse(sliceDecEst(id))

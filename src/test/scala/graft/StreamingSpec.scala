@@ -397,6 +397,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(node.current.topK("the web crawl", 10).toSeq == before3)
   }
 
+  test("ServingNode: bounded budget serves bit-identically; fits→bounded transition; bounded refresh reuses the shared cache") {
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.query.{Serving, ServingNode}
+    val base = Files.createTempDirectory("graft-servnode-bounded-").toString
+    val store = new IndexStore(s"$base/idx")
+    val cfg = IndexBuilder.Config(segSize = 128, blockSize = 16) // positions off → budget = decoded blocks only
+    val urlNum = regexp_extract(col("url"), "/p/(\\d+)$", 1).cast("long")
+    val corpus = Corpus.pages(spark, 600).toDF().cache()
+    def wave(lo: Long, hi: Long) = corpus.filter(urlNum >= lo && urlNum < hi)
+    StreamIngest.processIndexBatch(spark, wave(0, 200), 0L, store, cfg)
+    def flatTopK(q: String) =
+      Serving.open(store.open(spark), maxBytes = 2L << 30).topK(q, 10).toSeq
+    val wave1Bytes = Serving.open(store.open(spark), maxBytes = 2L << 30).loadedBytes
+
+    // a budget far below the index → bounded (shared CLOCK cache) from
+    // the first open; results stay bit-identical (eviction only moves
+    // WHERE the decode happens)
+    val tight = new ServingNode(spark, store, maxBytes = 1024L)
+    assert(tight.current.shards.forall(_.bounded), "tiny budget must bound")
+    assert(tight.current.topK("the web crawl", 10).toSeq == flatTopK("the web crawl"))
+
+    // a budget sized to wave 1 → fits now, bounded after the append
+    val mid = new ServingNode(spark, store, maxBytes = wave1Bytes + 64)
+    assert(mid.current.shards.forall(!_.bounded), "wave-1 index must fit")
+    StreamIngest.processIndexBatch(spark, wave(200, 400), 1L, store, cfg,
+      maxSlices = Int.MaxValue)
+    assert(mid.refresh())
+    assert(mid.current.shards.forall(_.bounded),
+      "the appended index exceeds the budget — the node must transition to the shared bounded cache")
+    for (q <- Seq("the web crawl", "docmark42 posting"))
+      assert(mid.current.topK(q, 10).toSeq == flatTopK(q), s"bounded diverged for '$q'")
+
+    // a further bounded-mode append keeps the SAME shared cache (its
+    // budget did not shrink — positions are off), so retained slices'
+    // decodes stay hot: carried > 0
+    StreamIngest.processIndexBatch(spark, wave(400, 600), 2L, store, cfg,
+      maxSlices = Int.MaxValue)
+    assert(mid.refresh())
+    assert(mid.lastLoadedSlices == 1 && mid.lastReusedDecodes > 0,
+      s"bounded refresh must reuse the shared cache (loaded=${mid.lastLoadedSlices}, reused=${mid.lastReusedDecodes})")
+    assert(mid.current.topK("the web crawl", 10).toSeq == flatTopK("the web crawl"))
+    corpus.unpersist()
+  }
+
   test("ServingNode: an in-place rebuild recommitting the same slice ids reloads — never serves stale content") {
     import graft.index.{IndexBuilder, IndexStore}
     import graft.query.{OracleScorer, ServingNode}
