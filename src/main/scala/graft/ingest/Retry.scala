@@ -159,11 +159,11 @@ object Fs {
   def anyMtimeAtOrAfter(path: String, cutoffMs: Long): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return false
     // ONLY a not-found mid-walk maps to "activity" — that is precisely a
-    // concurrent writer/cleaner mutating the tree. Other failures
-    // (permissions, FS outages) PROPAGATE: mapping them to "live forever"
-    // would silently disable GC with no signal to the operator.
+    // concurrent writer/cleaner mutating the tree. A missing ROOT is no
+    // activity (nothing left to act on — the caller's delete is a no-op).
+    // Other failures (permissions, FS outages) PROPAGATE: mapping them to
+    // "live forever" would silently disable GC with no signal.
     def walk(st: org.apache.hadoop.fs.FileStatus): Boolean =
       st.getModificationTime >= cutoffMs || (st.isDirectory && {
         val kids =
@@ -172,7 +172,7 @@ object Fs {
         kids.exists(walk)
       })
     try walk(fs.getFileStatus(p))
-    catch { case _: java.io.FileNotFoundException => true }
+    catch { case _: java.io.FileNotFoundException => false }
   }
 
   def deleteRecursive(path: String): Boolean = {
@@ -203,6 +203,7 @@ object Fs {
   * entry, so repeated failures cannot leak disk unboundedly.
   */
 object StagedAppend {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(StagedAppend.getClass)
   def apply(df: org.apache.spark.sql.DataFrame, targetPath: String, label: String): Unit = {
     val stage = targetPath.stripSuffix("/") +
       s".__stage-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -264,7 +265,7 @@ object StagedAppend {
       try Fs.childNames(parent)
       catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] stage vacuum: cannot list $parent — skipped ($e)")
+          log.warn(s"stage vacuum: cannot list $parent — skipped", e)
           return
       }
     names.filter(_.startsWith(prefix)).foreach { n =>
@@ -278,7 +279,7 @@ object StagedAppend {
           Fs.deleteRecursive(stage)
       } catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] stage vacuum: skipped $stage ($e)")
+          log.warn(s"stage vacuum: skipped $stage", e)
       }
     }
   }

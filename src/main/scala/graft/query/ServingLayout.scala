@@ -315,9 +315,11 @@ final class ServingNode(
     val df =
       if (globalDf == null) new java.util.HashMap[String, Long]()
       else new java.util.HashMap[String, Long](globalDf)
-    // dropped AND changed ids leave with their OLD cached partials (for a
-    // changed id, termsOf would return the newly-loaded ones); changed
-    // ids then re-enter with their new partials in the adds below
+    // dropped AND changed ids leave with their OLD cached partials — read
+    // from sliceTerms directly, never through the loaded-else-cache view
+    // (for a changed id that view yields the NEWLY-loaded partials, which
+    // would corrupt the subtraction); changed ids then re-enter with
+    // their new partials in the adds below
     (dropped ++ changed).foreach { id =>
       sliceTerms(id).foreach { t =>
         val left = df.get(t.term) - t.df
