@@ -95,6 +95,15 @@ object SparkEntry {
        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)
        | WHERE jac >= 0.5""".stripMargin
 
+  private lazy val passageSql =
+    s"""WITH w AS (
+       |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(t) - 7),
+       |    i -> array_to_string(t[i+1:i+8], ' '))) AS w
+       |  FROM (SELECT doc_id, $tokSql AS t FROM documents) WHERE len(t) >= 8)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   private lazy val embNearDupSql =
     """SELECT id_a, id_b, round(cos, 4) AS cosine FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -367,6 +376,15 @@ object SparkEntry {
       Dedup.minhashLsh(tbl(s, d, "documents"), "doc_id", "text",
         shingleK = 3, m = 128, bands = 32, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    // exact-passage duplication (verbatim k-token window shared between
+    // two docs — the substring-dedup signal set-similarity misses). The
+    // default hot-window guard is on: GateScaleSpec pins that no window
+    // is hot at gate scale, so the exact oracle applies verbatim
+    "q_dedup_passage" -> ((s, d) =>
+      Dedup.sharedPassagePairs(tbl(s, d, "documents"), "doc_id", "text",
+        windowK = 8)
+        .select(col("id_a"), col("id_b"), col("shared"))),
 
     // pairs → clusters → representative: the KEEP/DROP step of the dedup
     // pipeline (connected components by min-label propagation). Input is
@@ -665,6 +683,8 @@ object SparkEntry {
       "SELECT md5(text) AS content_md5, min(doc_id) AS rep_id, count(*) AS n_docs FROM documents GROUP BY md5(text)",
 
     "q_dedup_ngram_jaccard" -> ngramJaccardSql,
+    // shared column is a BIGINT count in both engines — no cast needed
+    "q_dedup_passage" -> passageSql,
     // guard is a no-op at sf0.01 (df can't exceed 1000 in 500 docs), so
     // the bounded default path matches the same exact oracle
     "q_dedup_ngram_jaccard_bounded" -> ngramJaccardSql,

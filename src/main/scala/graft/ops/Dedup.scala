@@ -59,6 +59,15 @@ object Dedup {
       if (tokens.isEmpty) Array.empty else Array(tokens.mkString(" "))
     } else tokens.sliding(k).map(_.mkString(" ")).toArray
 
+  /** Exact k-token windows of an analyzed token stream — unlike
+    * `shingles`, a document shorter than k tokens yields NO window (a
+    * passage-copy signal needs a full-length window; whole-short-doc
+    * equality is `exact`'s job).
+    */
+  def tokenWindows(tokens: Array[String], k: Int): Array[String] =
+    if (tokens.length < k) Array.empty
+    else tokens.sliding(k).map(_.mkString(" ")).toArray
+
   /** MinHash signature of a shingle set: m permutations h_i = a_i*x + b_i
     * over the 64-bit shingle hashes; min taken unsigned. Deterministic in
     * (seed, content).
@@ -443,5 +452,93 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     (out, Seq(docShingles) ++ dfCached, dropsDf)
+  }
+
+  /** Exact-passage duplication: document pairs sharing at least one
+    * EXACT k-token window, with the count of distinct shared windows —
+    * the "exact substring duplication" curation signal LLM pipelines use
+    * to find copied passages (quotes, licensing boilerplate, syndicated
+    * paragraphs) that set-similarity misses: two long documents sharing
+    * one verbatim paragraph have near-zero shingle Jaccard but are
+    * exactly the pair a dedup/decontamination pass wants to see. A
+    * distributed window inverted index (window → doc self-join) is the
+    * shape that scales where suffix arrays don't: one shuffle on the
+    * window key. `maxWindowDf` guards hot windows (site boilerplate
+    * repeated across millions of pages goes quadratic in the self-join)
+    * with the same loud broadcast anti-join as the n-gram guard — drops
+    * can only lose pairs whose ONLY shared windows are ubiquitous
+    * boilerplate, which is exactly the noise the guard exists to ignore.
+    * Unbounded (`Long.MaxValue`) is the small-corpus oracle form.
+    */
+  def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
+      windowK: Int = 8,
+      maxWindowDf: Long = DefaultMaxShingleDf,
+      onDrops: DropStats => Unit = DropStats.logDrops): DataFrame = {
+    val (out, cached, obs) =
+      sharedPassagePairsPlan(df, idCol, textCol, windowK, maxWindowDf)
+    CacheScope.seal(out, cached, obs, onDrops)
+  }
+
+  private[graft] def sharedPassagePairsPlan(df: DataFrame, idCol: String,
+      textCol: String, windowK: Int, maxWindowDf: Long)
+      : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docWindows = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        tokenWindows(graft.analysis.Analyzer.tokenize(text), windowK).distinct
+          .map(w => (id, w))
+      }
+      .toDF("id", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // same hot-key guard structure as ngramJaccardPairsPlan: the df-count
+    // relation is computed once, serves the guard decision AND the drop
+    // metrics, and the guard inverts to a broadcast anti-join of the few
+    // hot window VALUES (falling back to a semi-join past the cap)
+    val (filtered, dropsDf, dfCached) =
+      if (maxWindowDf == Long.MaxValue) (docWindows, None, None)
+      else {
+        val dfCounts = docWindows.groupBy("w")
+          .agg(count(lit(1)).as("wdf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = dfCounts.filter(col("wdf") > maxWindowDf)
+        val dropRow = hot
+          .agg(count(lit(1)).as("dropped_groups"),
+            coalesce(sum(col("wdf")), lit(0L)).as("dropped_entries"))
+          .head()
+        val drops = spark.createDataFrame(
+          java.util.Collections.singletonList(dropRow),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("dropped_groups",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("dropped_entries",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val maxBroadcastHot = 1L << 20
+        val guarded =
+          if (dropRow.getLong(0) <= maxBroadcastHot)
+            docWindows.join(broadcast(hot.select("w")), Seq("w"), "left_anti")
+          else docWindows.join(
+            dfCounts.filter(col("wdf") <= maxWindowDf).select("w"),
+            Seq("w"), "left_semi")
+        (guarded,
+          Some(drops): Option[DataFrame],
+          Some(dfCounts): Option[DataFrame])
+      }
+
+    // explicit repartition + shuffle-hash for the quadratic-per-key
+    // expansion, same AQE rationale as the n-gram self-join
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sides = filtered.repartition(parts, col("w"))
+    val a = sides.select(col("w"), col("id").as("id_a")).hint("shuffle_hash")
+    val b = sides.select(col("w"), col("id").as("id_b"))
+    val out = a.join(b, "w")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .select("id_a", "id_b", "shared")
+    (out, Seq(docWindows) ++ dfCached, dropsDf)
   }
 }

@@ -88,4 +88,21 @@ class GateScaleSpec extends AnyFunSuite {
         s"(${Dedup.DefaultMaxShingleDf}) — q_dedup_ngram_jaccard_bounded's " +
         "shared oracle premise no longer holds")
   }
+
+  test("no 8-token window df exceeds the default guard at gate scale (sf0.1)") {
+    import spark.implicits._
+    // q_dedup_passage runs the bounded default against the exact oracle —
+    // valid only while the hot-window guard is a no-op on this corpus
+    val maxDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, t) =>
+        Dedup.tokenWindows(graft.analysis.Analyzer.tokenize(t), 8).distinct.toSeq
+      }
+      .groupByKey(identity).count()
+      .map(_._2).reduce(math.max)
+    assert(maxDf <= Dedup.DefaultMaxShingleDf,
+      s"hottest 8-token window df=$maxDf exceeds the default guard " +
+        s"(${Dedup.DefaultMaxShingleDf}) — q_dedup_passage's exact oracle " +
+        "premise no longer holds")
+  }
 }

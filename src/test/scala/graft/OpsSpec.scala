@@ -70,6 +70,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got(0).getDouble(2) == 0.5)
   }
 
+  test("shared passage pairs: exact k-token windows, short docs yield none, hot windows guarded") {
+    // docs 1 and 2 share the verbatim 4-token passage "p q r s" twice-
+    // shifted → shared distinct windows with k=4: doc1 windows {p q r s,
+    // q r s t}, doc2 windows {o p q r, p q r s} → exactly one in common.
+    // doc3 is a 3-token doc: shorter than k → NO window (whole-short-doc
+    // equality is exact()'s job, not a passage signal), even though its
+    // text is a substring of doc1's.
+    val df = docs(
+      (1L, "p q r s t"),
+      (2L, "o p q r s"),
+      (3L, "p q r"))
+    val got = Dedup.sharedPassagePairs(df, "doc_id", "text", windowK = 4,
+      maxWindowDf = Long.MaxValue).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2)) == ((1L, 2L, 1L)))
+    // hot-window guard: a window shared by MANY docs is boilerplate — a
+    // pair whose only common window is hot must drop (loudly), while a
+    // pair sharing a rare window survives with the hot one not counted
+    val boiler = (1L to 5L).map(i => (10L + i, s"x y z w tail$i"))
+    val rare = Seq((20L, "x y z w a b c d"), (21L, "a b c d e"))
+    val df2 = docs(boiler ++ rare: _*)
+    var drops: Option[graft.ops.DropStats] = None
+    val got2 = Dedup.sharedPassagePairs(df2, "doc_id", "text", windowK = 4,
+      maxWindowDf = 4L, onDrops = s => drops = Some(s)).collect()
+    // "x y z w" has df 6 > 4 → guarded; only the rare "a b c d" pair stays
+    assert(got2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((20L, 21L, 1L)))
+    assert(drops.exists(_.droppedGroups == 1L), s"drops=$drops")
+  }
+
   test("ANN brute force: exact neighbors on constructed vectors") {
     import spark.implicits._
     val vecs = Seq(
