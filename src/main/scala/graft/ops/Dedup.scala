@@ -385,64 +385,11 @@ object Dedup {
       .toDF("id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // hot shingles are guarded out loudly, never silently. The df-count
-    // relation is computed ONCE (tiny: one row per distinct shingle,
-    // persisted) and consumed by the guard and the drop-metrics aggregate
-    // — no duplicated count shuffle. The guard itself INVERTS the join:
-    // hot shingles are by definition few distinct VALUES (that's what
-    // makes them hot), so a broadcast anti-join against the hot set costs
-    // a scan instead of shuffling the whole (id, shingle) stream against
-    // the huge OK-key set — the bounded default is now as cheap as
-    // unbounded plus one count aggregate. A pathological corpus whose hot
-    // set outgrows the broadcast cap falls back to the semi-join.
-    val (filtered, dropsDf, dfCached) =
-      if (maxShingleDf == Long.MaxValue) (docShingles, None, None)
-      else {
-        val dfCounts = docShingles.groupBy("shingle")
-          .agg(count(lit(1)).as("sdf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hot = dfCounts.filter(col("sdf") > maxShingleDf)
-        // one aggregate over the persisted counts serves BOTH the
-        // broadcast-size decision and the drop metrics (materialized here,
-        // handed to CacheScope.seal as a local row — no recompute)
-        val dropRow = hot
-          .agg(count(lit(1)).as("dropped_groups"),
-            coalesce(sum(col("sdf")), lit(0L)).as("dropped_entries"))
-          .head()
-        val drops = spark.createDataFrame(
-          java.util.Collections.singletonList(dropRow),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("dropped_groups",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("dropped_entries",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        // row cap proxies a byte budget: ~1M shingle strings ≈ tens of MB
-        // broadcast — past that the semi-join path is the safer shape
-        val maxBroadcastHot = 1L << 20
-        val guarded =
-          if (dropRow.getLong(0) <= maxBroadcastHot)
-            docShingles.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
-          else docShingles.join(
-            dfCounts.filter(col("sdf") <= maxShingleDf).select("shingle"),
-            Seq("shingle"), "left_semi")
-        (guarded,
-          Some(drops): Option[DataFrame],
-          Some(dfCounts): Option[DataFrame])
-      }
+    val (filtered, dropsDf, dfCached) = hotKeyGuard(docShingles, "shingle", maxShingleDf)
 
     val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
 
-    // explicit numPartitions repartition + shuffle-hash: the inputs are
-    // byte-small but the self-join EXPANDS quadratically per shingle —
-    // AQE-coalesced plans run the expansion on one core (see Ann)
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sides = filtered.repartition(parts, col("shingle"))
-    val a = sides.select(col("shingle"), col("id").as("id_a")).hint("shuffle_hash")
-    val b = sides.select(col("shingle"), col("id").as("id_b"))
-    val inter = a.join(b, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("common"))
+    val inter = pairCountsByKey(filtered, "shingle", "common")
 
     val out = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
@@ -465,10 +412,14 @@ object Dedup {
     * shape that scales where suffix arrays don't: one shuffle on the
     * window key. `maxWindowDf` guards hot windows (site boilerplate
     * repeated across millions of pages goes quadratic in the self-join)
-    * with the same loud broadcast anti-join as the n-gram guard — drops
-    * can only lose pairs whose ONLY shared windows are ubiquitous
-    * boilerplate, which is exactly the noise the guard exists to ignore.
-    * Unbounded (`Long.MaxValue`) is the small-corpus oracle form.
+    * with the same loud broadcast anti-join as the n-gram guard. The
+    * guard can only UNDER-report: hot windows leave the `shared` count
+    * of every pair (a pair sharing 2 rare + 2 hot windows reports
+    * shared=2), and a pair whose only shared windows are hot disappears
+    * — by design, since ubiquitous boilerplate is exactly the noise the
+    * signal exists to ignore, but a caller thresholding on `shared`
+    * must know the count excludes guarded windows. Unbounded
+    * (`Long.MaxValue`) is the small-corpus oracle form.
     */
   def sharedPassagePairs(df: DataFrame, idCol: String, textCol: String,
       windowK: Int = 8,
@@ -494,51 +445,78 @@ object Dedup {
       .toDF("id", "w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // same hot-key guard structure as ngramJaccardPairsPlan: the df-count
-    // relation is computed once, serves the guard decision AND the drop
-    // metrics, and the guard inverts to a broadcast anti-join of the few
-    // hot window VALUES (falling back to a semi-join past the cap)
-    val (filtered, dropsDf, dfCached) =
-      if (maxWindowDf == Long.MaxValue) (docWindows, None, None)
-      else {
-        val dfCounts = docWindows.groupBy("w")
-          .agg(count(lit(1)).as("wdf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hot = dfCounts.filter(col("wdf") > maxWindowDf)
-        val dropRow = hot
-          .agg(count(lit(1)).as("dropped_groups"),
-            coalesce(sum(col("wdf")), lit(0L)).as("dropped_entries"))
-          .head()
-        val drops = spark.createDataFrame(
-          java.util.Collections.singletonList(dropRow),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("dropped_groups",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("dropped_entries",
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        val maxBroadcastHot = 1L << 20
-        val guarded =
-          if (dropRow.getLong(0) <= maxBroadcastHot)
-            docWindows.join(broadcast(hot.select("w")), Seq("w"), "left_anti")
-          else docWindows.join(
-            dfCounts.filter(col("wdf") <= maxWindowDf).select("w"),
-            Seq("w"), "left_semi")
-        (guarded,
-          Some(drops): Option[DataFrame],
-          Some(dfCounts): Option[DataFrame])
-      }
+    val (filtered, dropsDf, dfCached) = hotKeyGuard(docWindows, "w", maxWindowDf)
 
-    // explicit repartition + shuffle-hash for the quadratic-per-key
-    // expansion, same AQE rationale as the n-gram self-join
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sides = filtered.repartition(parts, col("w"))
-    val a = sides.select(col("w"), col("id").as("id_a")).hint("shuffle_hash")
-    val b = sides.select(col("w"), col("id").as("id_b"))
-    val out = a.join(b, "w")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
+    val out = pairCountsByKey(filtered, "w", "shared")
       .select("id_a", "id_b", "shared")
     (out, Seq(docWindows) ++ dfCached, dropsDf)
+  }
+
+  /** Hot-key guard shared by the shingle/window self-join miners. Hot
+    * keys are guarded out loudly, never silently: the df-count relation
+    * is computed ONCE (tiny: one row per distinct key, persisted) and
+    * consumed by the guard and the drop-metrics aggregate — no duplicated
+    * count shuffle. The guard itself INVERTS the join: hot keys are by
+    * definition few distinct VALUES (that's what makes them hot), so a
+    * broadcast anti-join against the hot set costs a scan instead of
+    * shuffling the whole (id, key) stream against the huge OK-key set —
+    * the bounded default is as cheap as unbounded plus one count
+    * aggregate. A pathological corpus whose hot set outgrows the
+    * broadcast cap falls back to the semi-join. Returns (guarded
+    * relation, drop-metrics row for CacheScope.seal, persisted count
+    * relation for the cache scope).
+    */
+  private def hotKeyGuard(rel: DataFrame, keyCol: String, maxDf: Long)
+      : (DataFrame, Option[DataFrame], Option[DataFrame]) =
+    if (maxDf == Long.MaxValue) (rel, None, None)
+    else {
+      val spark = rel.sparkSession
+      val dfCounts = rel.groupBy(keyCol)
+        .agg(count(lit(1)).as("kdf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = dfCounts.filter(col("kdf") > maxDf)
+      // one aggregate over the persisted counts serves BOTH the
+      // broadcast-size decision and the drop metrics (materialized here,
+      // handed to CacheScope.seal as a local row — no recompute)
+      val dropRow = hot
+        .agg(count(lit(1)).as("dropped_groups"),
+          coalesce(sum(col("kdf")), lit(0L)).as("dropped_entries"))
+        .head()
+      val drops = spark.createDataFrame(
+        java.util.Collections.singletonList(dropRow),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dropped_groups",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("dropped_entries",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      // row cap proxies a byte budget: ~1M key strings ≈ tens of MB
+      // broadcast — past that the semi-join path is the safer shape
+      val maxBroadcastHot = 1L << 20
+      val guarded =
+        if (dropRow.getLong(0) <= maxBroadcastHot)
+          rel.join(broadcast(hot.select(keyCol)), Seq(keyCol), "left_anti")
+        else rel.join(
+          dfCounts.filter(col("kdf") <= maxDf).select(keyCol),
+          Seq(keyCol), "left_semi")
+      (guarded,
+        Some(drops): Option[DataFrame],
+        Some(dfCounts): Option[DataFrame])
+    }
+
+  /** Distinct (id_a < id_b) pair counts via a key self-join over an
+    * (id, key) relation — the shared kernel of the shingle/window pair
+    * miners. Explicit numPartitions repartition + shuffle-hash: the
+    * inputs are byte-small but the self-join EXPANDS quadratically per
+    * key — AQE-coalesced plans run the expansion on one core (see Ann).
+    */
+  private def pairCountsByKey(rel: DataFrame, keyCol: String, outCol: String): DataFrame = {
+    val parts = rel.sparkSession.sessionState.conf.numShufflePartitions
+    val sides = rel.repartition(parts, col(keyCol))
+    val a = sides.select(col(keyCol), col("id").as("id_a")).hint("shuffle_hash")
+    val b = sides.select(col(keyCol), col("id").as("id_b"))
+    a.join(b, keyCol)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as(outCol))
   }
 }

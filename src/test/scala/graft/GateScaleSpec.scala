@@ -10,7 +10,9 @@ import graft.ops.{Ann, Dedup}
   *   - `q_emb_near_dup_lsh` / `q_dedup_minhash_lsh` assume LSH recall is
   *     exactly 1 on this corpus at the default probe settings;
   *   - `q_dedup_ngram_jaccard_bounded` assumes no shingle's df exceeds
-  *     the default guard, making the bound a no-op.
+  *     the default guard, making the bound a no-op;
+  *   - `q_dedup_passage` assumes no 8-token window's df exceeds the
+  *     default guard, for the same reason.
   * Those premises are asserted HERE at the actual gate scale, so a future
   * corpus or parameter change fails with a clear message instead of a
   * confusing oracle hash mismatch. (lshNearDupPairs auto-scales nPlanes
