@@ -1,0 +1,58 @@
+package graft
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+
+/** Extra benchmarks for optimization work (guide §1) — NOT the driver
+  * contract. `Bench.scala` is the frozen measurement harness; this main
+  * reproduces its phase-1 query methodology (same session config, same
+  * `.count()` action, min-of-interleaved-reps) for fast iteration, and can
+  * restrict to a comma-separated query subset.
+  *
+  *   sbt "runMain graft.BenchExtra [q1,q2,...]"
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_QUERY_REPS (default 2).
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
+    val only = args.headOption.map(_.split(",").toSet)
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-benchextra-$cpus")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus.toString))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    SparkEntry.indexFor(spark, sfDir) // pre-build the shared index like Bench
+
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val series = scala.collection.mutable.LinkedHashMap(
+      named.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    (1 to reps).foreach { _ =>
+      named.foreach { case (n, fn) =>
+        spark.sparkContext.setJobDescription(n)
+        val t0 = System.nanoTime()
+        val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        series(n) += sec
+        println(f"[extra] $n%-34s ${sec}%7.3fs rows=$rows")
+      }
+    }
+    val mins = named.map { case (n, _) => n -> series(n).min }
+    def fmt(d: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(d))
+    println(mins.map { case (n, v) => s""""$n":${fmt(v)}""" }
+      .mkString("""{"metric":"extra","queries":{""", ",", s"""},"total":${fmt(mins.map(_._2).sum)}}"""))
+    spark.stop()
+  }
+}
