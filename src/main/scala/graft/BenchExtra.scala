@@ -33,6 +33,22 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional per-job breakdown (GRAFT_EXTRA_JOBLOG=1): job wall time +
+    // description, for attributing a query's seconds to its Spark jobs
+    if (sys.env.get("GRAFT_EXTRA_JOBLOG").contains("1")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            Option(js.properties.getProperty("spark.job.description")).getOrElse("?")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null)
+            println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%7.3fs ${s._2}")
+        }
+      })
+    }
+
     SparkEntry.indexFor(spark, sfDir) // pre-build the shared index like Bench
 
     val named = SparkEntry.queries.toSeq.sortBy(_._1)

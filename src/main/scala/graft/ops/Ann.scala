@@ -168,14 +168,35 @@ object Ann {
       best
     }
     var it = 0
+    val nThreads = math.max(1, math.min(Runtime.getRuntime.availableProcessors(), 16))
     while (it < iters) {
+      // assignment phase (the trainCap × k × dim distance scan — ~95% of
+      // the work) runs on driver threads: each element's nearest cell is
+      // a PURE function of (element, centroids), so the strided split is
+      // bit-identical to the sequential loop regardless of scheduling
+      val cs = centroids
+      val assign = new Array[Int](data.length)
+      val workers = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          var i = t
+          while (i < data.length) { assign(i) = nearest(data(i), cs); i += nThreads }
+        })
+        th.start(); th
+      }
+      workers.foreach(_.join())
+      // the fp accumulation stays SEQUENTIAL in data order — double
+      // addition is not associative, so a parallel fold would change the
+      // centroids (and with them the declared IVF gate's output)
       val sums = Array.fill(k)(new Array[Double](data(0).length))
       val counts = new Array[Int](k)
-      data.foreach { v =>
-        val c = nearest(v, centroids)
+      var j = 0
+      while (j < data.length) {
+        val v = data(j)
+        val c = assign(j)
         counts(c) += 1
         var i = 0
         while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        j += 1
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c) // keep empty cells stable
@@ -328,10 +349,9 @@ object Ann {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
 
-    def verify(pairs: DataFrame, bcastVecs: Boolean): DataFrame = {
+    def verifyByJoin(pairs: DataFrame): DataFrame = {
       def side(s: String, n: String) =
-        if (bcastVecs) broadcast(vecs.select(col("id").as(s), col("v").as("v" + s), col("v_norm").as(n)))
-        else vecs.select(col("id").as(s), col("v").as("v" + s), col("v_norm").as(n))
+        vecs.select(col("id").as(s), col("v").as("v" + s), col("v_norm").as(n))
       pairs
         .join(side("id_a", "na"), "id_a")
         .join(side("id_b", "nb"), "id_b")
@@ -341,18 +361,33 @@ object Ann {
     }
 
     // Candidate multiplicity (same pair colliding in several table/probe
-    // buckets) must be deduplicated exactly once. When the vector table is
-    // broadcastable, verifying FIRST is far cheaper: the per-row dot
-    // product is codegen'd CPU work while distinct is a full shuffle of
-    // the raw candidate stream, and the surviving output is tiny. Past
-    // broadcast size the verify joins become shuffles themselves, so
-    // dedupe the (id,id) pairs first and join vectors once per pair.
-    // Cutoff is BYTE-based (~64 MB of raw vector payload), not row-based —
-    // a row cutoff would happily broadcast gigabytes of wide embeddings.
+    // buckets) must be deduplicated exactly once. When the vector table
+    // fits the broadcast budget, verifying FIRST is far cheaper (distinct
+    // is a full shuffle of the raw candidate stream; the verified output
+    // is tiny) — and the verify itself is a codegen id→(vector, norm)
+    // broadcast-map lookup, NOT a pair of broadcast hash joins: the joins
+    // copied ~2×dim×8 bytes of vector payload into every candidate row
+    // (the op's dominant cost measured at gate scale); the lookup keeps
+    // candidate rows at 16 bytes and is bit-identical arithmetic. Past
+    // broadcast size the verify becomes shuffled joins, so dedupe the
+    // (id,id) pairs first and join vectors once per pair. Cutoff is
+    // BYTE-based (~64 MB of raw vector payload), not row-based — a row
+    // cutoff would happily broadcast gigabytes of wide embeddings.
     val vecBytes = nVecs.toDouble * dim * 8
     val out =
-      if (vecBytes <= 64e6) verify(rawPairs, bcastVecs = true).distinct()
-      else verify(rawPairs.distinct(), bcastVecs = false)
+      if (vecBytes <= 64e6) {
+        val map = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+        vecs.select("id", "v", "v_norm").collect().foreach { r =>
+          map.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2)))
+        }
+        // a real Broadcast (torrent-fetched once per executor, reclaimed
+        // by the ContextCleaner like any broadcast-join relation)
+        val bc = spark.sparkContext.broadcast(map)
+        rawPairs
+          .withColumn("cosine", annFunctions.cosineByIds(col("id_a"), col("id_b"), bc))
+          .filter(col("cosine") >= threshold)
+          .distinct()
+      } else verifyByJoin(rawPairs.distinct())
     (out, Seq(vecs, entries, keyCounts), Some(dropsDf))
   }
 }

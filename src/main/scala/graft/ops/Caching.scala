@@ -52,7 +52,20 @@ private[ops] object CacheScope {
       onDrops: DropStats => Unit,
       capRows: Int = MaterializeCapRows): DataFrame = {
     val spark = out.sparkSession
-    val rows = out.take(capRows + 1)
+    // take() submits incremental limit jobs (1 partition, then ×4, ×16 …)
+    // — for a sealed sketch op the output is almost never under one
+    // partition's worth, so the waves only add scheduler round-trips and
+    // re-runs of the final stage. Raising the initial partition count runs
+    // the take as ONE job; restored afterwards so querying code outside
+    // the ops keeps the default incremental-limit behavior.
+    val initKey = "spark.sql.limit.initialNumPartitions"
+    val prevInit = spark.conf.getOption(initKey)
+    val rows =
+      try { spark.conf.set(initKey, "4096"); out.take(capRows + 1) }
+      finally prevInit match {
+        case Some(v) => spark.conf.set(initKey, v)
+        case None => spark.conf.unset(initKey)
+      }
     drops.foreach { d =>
       val r = d.head()
       onDrops(DropStats(r.getLong(0), r.getLong(1)))

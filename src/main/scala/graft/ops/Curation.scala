@@ -29,19 +29,17 @@ object Curation {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       shingleK: Int = 3, minOverlap: Long = 1L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    // one codegen pass per side (tokenize → k-gram → distinct 128-bit
+    // hashes, no typed-Dataset ser/de); the broadcast and the overlap
+    // count move 16-byte keys instead of raw shingle strings
     def shingleRows(df: DataFrame) = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        Dedup.shingles(graft.analysis.Analyzer.tokenize(t), shingleK).distinct
-          .map(s => (id, s))
-      }
-      .toDF("id", "shingle")
-    val benchShingles = shingleRows(benchmark).select("shingle").distinct()
+      .select(col(idCol).cast("long").as("id"),
+        dedupFunctions.shingleHashes(col(textCol), shingleK, whole = true).as("shs"))
+      .select(col("id"), explode(col("shs")).as("s"))
+      .select(col("id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
+    val benchShingles = shingleRows(benchmark).select("h1", "h2").distinct()
     shingleRows(corpus)
-      .join(broadcast(benchShingles), Seq("shingle"))
+      .join(broadcast(benchShingles), Seq("h1", "h2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)

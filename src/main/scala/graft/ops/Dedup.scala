@@ -110,31 +110,25 @@ object Dedup {
   private[graft] def minhashLshPlan(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, m: Int, bands: Int, threshold: Double, seed: Long,
       maxBucket: Int): (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
-    val spark = df.sparkSession
-    import spark.implicits._
     require(m % bands == 0, "m must divide into bands")
-    val r = m / bands
 
-    // ONE tokenize+shingle pass: sets and signatures come out of the same
-    // materialized map (persisted, spills to disk), so the verify stage
-    // reuses the shingle sets instead of re-analyzing the corpus.
+    // ONE tokenize+shingle pass, all codegen (no typed-Dataset ser/de):
+    // the persisted base holds the distinct 128-bit shingle hashes —
+    // 16 bytes/shingle instead of the raw k-token strings — and both the
+    // banding branch and the Jaccard-verify branch read it. Signatures
+    // derive from the h1 components (h1 IS Hash64 of the shingle, so the
+    // minhash permutations are bit-identical to the string path) inside
+    // the band-key expression; band-hash collisions only ADD candidates,
+    // which the exact verify removes.
     val base = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = shingles(graft.analysis.Analyzer.tokenize(text), shingleK).distinct
-        (id, sh, minhashSignature(sh.map(Hash64(_)), m, seed))
-      }
-      .toDF("id", "sh", "sig")
+      .select(col(idCol).cast("long").as("id"),
+        dedupFunctions.shingleHashes(col(textCol), shingleK, whole = true).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = base.select(
       col("id"),
-      posexplode(
-        // band hash = hash of the r signature values of that band
-        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"xxhash64(concat_ws(':', slice(sig, b * $r + 1, $r))))")
-      ).as(Seq("band", "bhash")))
+      posexplode(dedupFunctions.minhashBandKeys(col("sh"), m, bands, seed))
+        .as(Seq("band", "bhash")))
 
     // ONE band shuffle: the grouped relation is persisted and feeds both
     // the capped buckets and the drop metrics (the keyCounts pattern from
@@ -308,15 +302,13 @@ object Dedup {
   private[graft] def simhashPairsPlan(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
-    import spark.implicits._
     val nBands = maxDist + 1
     val width = 64 / nBands
+    val mask = (1L << width) - 1
 
-    val hashed = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(graft.analysis.Analyzer.tokenize(text))) }
-      .toDF("id", "sim")
+    // codegen tokenize+simhash in one expression — no typed-Dataset hop
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+      dedupFunctions.simhash64(col(textCol)).as("sim"))
 
     // persisted: the band self-join reads both sides from this relation —
     // without it the tokenize+simhash map runs twice
@@ -324,7 +316,7 @@ object Dedup {
       col("id"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> " +
-          s"(shiftright(sim, b * $width) & ${(1L << width) - 1}))"))
+          s"(shiftright(sim, b * $width) & $mask))"))
         .as(Seq("band", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -335,15 +327,24 @@ object Dedup {
       col("id").as("id_a"), col("sim").as("sim_a")).hint("shuffle_hash")
     val b = sides.select(col("band"), col("key"),
       col("id").as("id_b"), col("sim").as("sim_b"))
-    // hamming is per-row codegen math — filtering BEFORE the distinct
-    // keeps far-apart candidate pairs (the bulk, under pigeonhole
-    // blocking) out of the dedup shuffle entirely
+    // A pair matching in d bands would surface d times; instead of a
+    // distinct() (a full shuffle of the candidate stream) each pair is
+    // emitted ONLY from its first agreeing band — per-row codegen
+    // arithmetic on the XOR, exactly-once by construction. Band b agrees
+    // iff ((sim_a^sim_b) >> b*width) & mask == 0 (arithmetic shift
+    // distributes over XOR, so this is precisely key_a == key_b).
+    val xorCol = col("sim_a").bitwiseXOR(col("sim_b"))
+    val firstBand = (0 until nBands).reverse.foldLeft(lit(nBands): Column) {
+      (acc, b2) =>
+        when(shiftright(xorCol, b2 * width).bitwiseAND(lit(mask)) === 0, lit(b2))
+          .otherwise(acc)
+    }
     val out = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === firstBand)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(xorCol).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
     (out, Seq(banded))
   }
 
@@ -371,29 +372,25 @@ object Dedup {
   private[graft] def ngramJaccardPairsPlan(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, threshold: Double, maxShingleDf: Long)
       : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // persisted: consumed by the df-guard, both self-join sides, and the
-    // size denominators — without it the tokenize+shingle pass runs 3-4×
+    // ONE codegen pass (tokenize → k-gram → distinct 128-bit hashes): no
+    // typed-Dataset ser/de hop, and the persisted relation plus every
+    // downstream shuffle carry a 16-byte (h1, h2) key instead of the raw
+    // k-token string (3-6× the bytes at web scale). The per-doc set size
+    // rides along on each row, so the Jaccard denominators come out of
+    // the pair aggregation itself — no separate sizes groupBy and no two
+    // extra joins against it.
     val docShingles = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        shingles(graft.analysis.Analyzer.tokenize(text), shingleK).distinct
-          .map(s => (id, s))
-      }
-      .toDF("id", "shingle")
+      .select(col(idCol).cast("long").as("id"),
+        dedupFunctions.shingleHashes(col(textCol), shingleK, whole = true).as("shs"))
+      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
+      .select(col("id"), col("n"), col("s.h1").as("h1"), col("s.h2").as("h2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val (filtered, dropsDf, dfCached) = hotKeyGuard(docShingles, "shingle", maxShingleDf)
+    val (filtered, dropsDf, dfCached) = hotKeyGuard(docShingles, Seq("h1", "h2"), maxShingleDf)
 
-    val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("n"))
-
-    val inter = pairCountsByKey(filtered, "shingle", "common")
+    val inter = pairCountsByKey(filtered, Seq("h1", "h2"), Seq("n"), "common")
 
     val out = inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -433,21 +430,20 @@ object Dedup {
   private[graft] def sharedPassagePairsPlan(df: DataFrame, idCol: String,
       textCol: String, windowK: Int, maxWindowDf: Long)
       : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    // same 128-bit-hash design as the n-gram miner: one codegen pass, and
+    // the window inverted index shuffles 16-byte keys where it used to
+    // shuffle the full 8-token window text (~50-100 bytes/row) — the
+    // engine's widest shuffle cut to a fraction of its bytes
     val docWindows = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        tokenWindows(graft.analysis.Analyzer.tokenize(text), windowK).distinct
-          .map(w => (id, w))
-      }
-      .toDF("id", "w")
+      .select(col(idCol).cast("long").as("id"),
+        dedupFunctions.shingleHashes(col(textCol), windowK, whole = false).as("ws"))
+      .select(col("id"), explode(col("ws")).as("w"))
+      .select(col("id"), col("w.h1").as("h1"), col("w.h2").as("h2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val (filtered, dropsDf, dfCached) = hotKeyGuard(docWindows, "w", maxWindowDf)
+    val (filtered, dropsDf, dfCached) = hotKeyGuard(docWindows, Seq("h1", "h2"), maxWindowDf)
 
-    val out = pairCountsByKey(filtered, "w", "shared")
+    val out = pairCountsByKey(filtered, Seq("h1", "h2"), Nil, "shared")
       .select("id_a", "id_b", "shared")
     (out, Seq(docWindows) ++ dfCached, dropsDf)
   }
@@ -466,12 +462,12 @@ object Dedup {
     * relation, drop-metrics row for CacheScope.seal, persisted count
     * relation for the cache scope).
     */
-  private def hotKeyGuard(rel: DataFrame, keyCol: String, maxDf: Long)
+  private def hotKeyGuard(rel: DataFrame, keyCols: Seq[String], maxDf: Long)
       : (DataFrame, Option[DataFrame], Option[DataFrame]) =
     if (maxDf == Long.MaxValue) (rel, None, None)
     else {
       val spark = rel.sparkSession
-      val dfCounts = rel.groupBy(keyCol)
+      val dfCounts = rel.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("kdf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hot = dfCounts.filter(col("kdf") > maxDf)
@@ -494,29 +490,39 @@ object Dedup {
       val maxBroadcastHot = 1L << 20
       val guarded =
         if (dropRow.getLong(0) <= maxBroadcastHot)
-          rel.join(broadcast(hot.select(keyCol)), Seq(keyCol), "left_anti")
+          rel.join(broadcast(hot.select(keyCols.map(col): _*)), keyCols, "left_anti")
         else rel.join(
-          dfCounts.filter(col("kdf") <= maxDf).select(keyCol),
-          Seq(keyCol), "left_semi")
+          dfCounts.filter(col("kdf") <= maxDf).select(keyCols.map(col): _*),
+          keyCols, "left_semi")
       (guarded,
         Some(drops): Option[DataFrame],
         Some(dfCounts): Option[DataFrame])
     }
 
   /** Distinct (id_a < id_b) pair counts via a key self-join over an
-    * (id, key) relation — the shared kernel of the shingle/window pair
+    * (id, key...) relation — the shared kernel of the shingle/window pair
     * miners. Explicit numPartitions repartition + shuffle-hash: the
     * inputs are byte-small but the self-join EXPANDS quadratically per
     * key — AQE-coalesced plans run the expansion on one core (see Ann).
+    * `carryCols` ride the shuffle (8 bytes each, constant per id) and
+    * come out as `<c>_a`/`<c>_b` aggregates — carrying the per-doc set
+    * size this way removes the separate sizes groupBy plus two joins the
+    * Jaccard denominators used to cost.
     */
-  private def pairCountsByKey(rel: DataFrame, keyCol: String, outCol: String): DataFrame = {
+  private def pairCountsByKey(rel: DataFrame, keyCols: Seq[String],
+      carryCols: Seq[String], outCol: String): DataFrame = {
     val parts = rel.sparkSession.sessionState.conf.numShufflePartitions
-    val sides = rel.repartition(parts, col(keyCol))
-    val a = sides.select(col(keyCol), col("id").as("id_a")).hint("shuffle_hash")
-    val b = sides.select(col(keyCol), col("id").as("id_b"))
-    a.join(b, keyCol)
+    val sides = rel.repartition(parts, keyCols.map(col): _*)
+    def side(sfx: String) = sides.select(
+      keyCols.map(col) ++
+        (col("id").as("id" + sfx) +: carryCols.map(c => col(c).as(c + sfx))): _*)
+    val a = side("_a").hint("shuffle_hash")
+    val b = side("_b")
+    a.join(b, keyCols)
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as(outCol))
+      .agg(count(lit(1)).as(outCol),
+        carryCols.flatMap(c =>
+          Seq(min(col(c + "_a")).as(c + "_a"), min(col(c + "_b")).as(c + "_b"))): _*)
   }
 }

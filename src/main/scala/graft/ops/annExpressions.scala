@@ -63,6 +63,26 @@ object AnnKernels {
     new GenericArrayData(out)
   }
 
+  /** Exact cosine of two corpus vectors looked up by id from a broadcast
+    * (vector, norm) map — the LSH verify stage's kernel. Identical
+    * arithmetic and fold order to `Ann.cosine` with hoisted norms
+    * (ascending-index dot, then one divide by the norm product), so the
+    * result is bit-identical to the former broadcast-join formulation —
+    * without materializing two array<double> payload copies per candidate
+    * row through two hash joins.
+    */
+  def cosineById(a: Long, b: Long, bcObj: AnyRef): Double = {
+    val m = bcObj.asInstanceOf[org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[java.lang.Long, (Array[Double], Double)]]].value
+    val (va, na) = m.get(a)
+    val (vb, nb) = m.get(b)
+    val n = math.min(va.length, vb.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += va(i) * vb(i); i += 1 }
+    s / (na * nb)
+  }
+
   /** Indices of the `n` nearest centroids to the L2-normalized vector,
     * ordered by (distance asc, index asc) — bit-identical to the former
     * UDF's normalize + squared-distance + stable sortBy.
@@ -140,6 +160,35 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]], n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd exact-cosine verify by id lookup against a broadcast
+  * (vector, norm) map — replaces two broadcast hash joins that copied the
+  * full vector payload into every candidate row. Only used when the
+  * vector table fits the broadcast budget (the same condition the join
+  * form required); the handle is a real Spark Broadcast, so executors
+  * fetch the map once, not per task closure.
+  */
+case class CosineByIds(left: Expression, right: Expression,
+    vecs: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[java.lang.Long, (Array[Double], Double)]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_by_id"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AnnKernels.cosineById(a.asInstanceOf[Long], b.asInstanceOf[Long], vecs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineVecsBc", vecs,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ops.AnnKernels.cosineById($a, $b, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineByIds =
+    copy(left = l, right = r)
+}
+
 private[ops] object annFunctions {
   def lshKeys(c: Column, tables: Array[Array[Array[Double]]], probeBits: Int): Column =
     GraftBridge.column(LshBucketKeys(
@@ -147,4 +196,10 @@ private[ops] object annFunctions {
   def ivfCells(c: Column, centroids: Array[Array[Double]], n: Int): Column =
     GraftBridge.column(IvfCells(
       GraftBridge.expression(c.cast("array<double>")), centroids, n))
+  def cosineByIds(a: Column, b: Column,
+      vecs: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[java.lang.Long, (Array[Double], Double)]]): Column =
+    GraftBridge.column(CosineByIds(
+      GraftBridge.expression(a.cast("long")),
+      GraftBridge.expression(b.cast("long")), vecs))
 }

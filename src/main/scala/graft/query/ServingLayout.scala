@@ -75,46 +75,85 @@ object ServingLayout {
     * `Serving.openSharded`'s in-process shards: same seg assignment, same
     * global stats, same kernel.
     */
+  // a shard that owns zero segments (fewer segments than shards) has no
+  // directory — it opens empty and the router merge is unaffected. The
+  // schema comes from the encoder, NOT parquet footer inference: a schema
+  // discovery pass over the shard files is a whole extra Spark job per
+  // table per open, and the export's schemas are fixed by construction.
+  private def readOr[T <: Product : scala.reflect.runtime.universe.TypeTag : scala.reflect.ClassTag](
+      spark: SparkSession, path: String): Array[T] = {
+    val enc = org.apache.spark.sql.Encoders.product[T]
+    if (!graft.ingest.Fs.exists(path)) Array.empty[T]
+    else spark.read.schema(enc.schema).parquet(path).as[T](enc).collect()
+  }
+
+  /** The small GLOBAL sides of an export (merged term df + corpus stats)
+    * — loaded once per node (or once per in-process cluster) and shared
+    * read-only across shard opens, the same sharing `Serving.openSharded`
+    * uses for its in-process shards.
+    */
+  private def loadGlobalDf(spark: SparkSession, outDir: String): java.util.HashMap[String, Long] = {
+    val df = new java.util.HashMap[String, Long]()
+    readOr[TermStat](spark, s"$outDir/terms").foreach(t => df.put(t.term, t.df))
+    df
+  }
+
+  private def loadStats(outDir: String): IndexStats = {
+    val s = graft.ingest.Fs.readString(s"$outDir/stats.json")
+    def num(k: String) = (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r
+      .findFirstMatchIn(s).get.group(1)
+    IndexStats(num("nDocs").toLong, num("avgdl").toDouble,
+      num("nTerms").toLong, num("totalTokens").toLong)
+  }
+
   def openExportedShard(
       spark: SparkSession, outDir: String, shardId: Int, maxBytes: Long,
       withDocs: Boolean = false): ServingIndex = {
-    import spark.implicits._
     val n = nShards(outDir)
     require(shardId >= 0 && shardId < n, s"shardId $shardId out of range for $n shards")
-    // a shard that owns zero segments (fewer segments than shards) has no
-    // directory — it opens empty and the router merge is unaffected
-    def readOr[T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](path: String): Array[T] =
-      if (!graft.ingest.Fs.exists(path)) Array.empty[T]
-      else spark.read.parquet(path).as[T].collect()
-    val blocks = readOr[PostingBlock](s"$outDir/postings/shard=$shardId")
-    val norms = Serving.normsMapOf(readOr[SegNorms](s"$outDir/norms/shard=$shardId"))
-    val df = new java.util.HashMap[String, Long]()
-    spark.read.parquet(s"$outDir/terms").as[TermStat].collect()
-      .foreach(t => df.put(t.term, t.df))
-    val stats = {
-      val s = graft.ingest.Fs.readString(s"$outDir/stats.json")
-      def num(k: String) = (s""""$k"\\s*:\\s*([-0-9.eE]+)""").r
-        .findFirstMatchIn(s).get.group(1)
-      IndexStats(num("nDocs").toLong, num("avgdl").toDouble,
-        num("nTerms").toLong, num("totalTokens").toLong)
-    }
+    openExportedShardWith(spark, outDir, shardId, maxBytes, withDocs,
+      loadGlobalDf(spark, outDir), loadStats(outDir))
+  }
+
+  private def openExportedShardWith(
+      spark: SparkSession, outDir: String, shardId: Int, maxBytes: Long,
+      withDocs: Boolean, df: java.util.HashMap[String, Long],
+      stats: IndexStats): ServingIndex = {
+    val blocks = readOr[PostingBlock](spark, s"$outDir/postings/shard=$shardId")
+    val norms = Serving.normsMapOf(readOr[SegNorms](spark, s"$outDir/norms/shard=$shardId"))
     val si = Serving.assemble(blocks, norms, df, stats, maxBytes)
     // per-shard fetch store: this node materializes _source only for the
     // documents whose postings it scores
-    if (withDocs) si.loadDocs(readOr[DocMeta](s"$outDir/docs/shard=$shardId"))
+    if (withDocs) si.loadDocs(readOr[DocMeta](spark, s"$outDir/docs/shard=$shardId"))
     si
   }
 
   /** All shards of an export opened in one process, routed — the
     * integration-test form of the per-node deployment (each shard open
-    * still reads only its own directory).
+    * still reads only its own directory). The global term table is read
+    * ONCE and shared (it is identical for every shard — re-reading it per
+    * shard was the dominant open cost), and the per-shard directory reads
+    * run concurrently: independent Spark collects back-fill each other's
+    * scheduling gaps (guide §2.6), exactly as separate nodes would open in
+    * parallel on a real deploy.
     */
   def openExportedCluster(
       spark: SparkSession, outDir: String, maxBytesPerShard: Long,
-      withDocs: Boolean = false): ServingCluster =
-    Serving.clusterOf(
-      (0 until nShards(outDir))
-        .map(s => openExportedShard(spark, outDir, s, maxBytesPerShard, withDocs)))
+      withDocs: Boolean = false): ServingCluster = {
+    val n = nShards(outDir)
+    val df = loadGlobalDf(spark, outDir)
+    val stats = loadStats(outDir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try Serving.clusterOf(Await.result(
+      Future.sequence((0 until n).map(s => Future(
+        openExportedShardWith(spark, outDir, s, maxBytesPerShard, withDocs, df, stats)))),
+      Duration.Inf))
+    finally pool.shutdown()
+  }
 }
 /** A serving node that follows a LIVE index: continuous indexing
   * (`StreamIngest.indexStream`) appends slices to the store, and the
