@@ -304,26 +304,35 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val (dim, planes0, nVecs) = {
-      val r = df.agg(first(size(col(vecCol))), count(lit(1))).head()
+    // spread a narrow input before the per-row norm/bucket expressions
+    // (a small embeddings table arrives as one file split), then resolve
+    // dim/count from the SAME job that materializes the persisted vectors
+    // — no separate metadata scan over the input
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val p = prep(Dedup.spread(df.select(col(idCol), col(vecCol)), parts, idCol),
+      idCol, vecCol)
+    val vecs = withNorm(p, idCol, "id", "v").persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dim, p0, nVecs) = {
+      val r = vecs.agg(first(size(col("v"))), count(lit(1))).head()
       val auto = math.ceil(math.log(math.max(r.getLong(1), 2L) / 32.0) / math.log(2)).toInt
       (r.getInt(0), if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)), r.getLong(1))
     }
-    val p0 = planes0
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, p0, seed + 7919L * t))
-
-    val p = prep(df, idCol, vecCol)
-    val vecs = withNorm(p, idCol, "id", "v").persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate generation as a key self-join, NOT collect_list + explode:
     // grouped bucket rows are few and byte-small, so AQE coalesces them to
     // one partition and the quadratic pair expansion runs on one core —
     // the join keeps the expansion distributed across the key hash space.
     // Keys come from the codegen'd LshBucketKeys expression (this map runs
-    // over every corpus row — no ScalaUDF hop).
+    // over every corpus row — no ScalaUDF hop). The persisted entries are
+    // PRE-PARTITIONED on the bucket key: the count groupBy, the cap
+    // semi-join and the pair self-join all reuse this one fixed-width
+    // exchange (which AQE cannot coalesce — the quadratic expansion stays
+    // spread across the key space).
     val entries = vecs
       .select(col("id"), explode(annFunctions.lshKeys(col("v"), tables, probeBits)).as("key"))
+      .repartition(parts, col("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket sizes computed ONCE (tiny: one row per distinct key,
     // persisted) and consumed by both the cap filter and the drop-metrics
@@ -336,14 +345,7 @@ object Ann {
       .filter(col("n") > maxBucket)
       .agg(count(lit(1)).as("dropped_groups"),
         coalesce(sum(col("n")), lit(0L)).as("dropped_entries"))
-    // The pair join EXPANDS: small inputs, huge output. Left alone, AQE
-    // coalesces the byte-small input to one partition and broadcast-joins
-    // it — the quadratic expansion then runs on a single core. An explicit
-    // numPartitions repartition (which AQE never coalesces) plus a
-    // shuffle-hash hint keeps the expansion spread across the key space.
-    val parts = spark.sessionState.conf.numShufflePartitions
     val bounded = entries.join(okKeys, Seq("key"), "left_semi")
-      .repartition(parts, col("key"))
     val rawPairs = bounded.select(col("key"), col("id").as("id_a")).hint("shuffle_hash")
       .join(bounded.select(col("key"), col("id").as("id_b")), "key")
       .filter(col("id_a") < col("id_b"))

@@ -38,7 +38,11 @@ object Curation {
       .select(col("id"), explode(col("shs")).as("s"))
       .select(col("id"), col("s.h1").as("h1"), col("s.h2").as("h2"))
     val benchShingles = shingleRows(benchmark).select("h1", "h2").distinct()
-    shingleRows(corpus)
+    // spread the corpus scan before the analyze expression: a small
+    // corpus arrives as one file split (one core); at scale the input's
+    // own splits provide the width and the spread is a no-op
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    shingleRows(Dedup.spread(corpus, parts, idCol))
       .join(broadcast(benchShingles), Seq("h1", "h2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits"))

@@ -46,8 +46,21 @@ object Hash64 {
   */
 object Dedup {
 
+  /** Distribute an analyze pass over a narrow input: a small corpus
+    * arrives as one or two file splits, which would run the per-doc
+    * tokenize/sketch expressions on ONE core; an input already at least
+    * as wide as min(shuffle width, 8) keeps its natural split
+    * parallelism — no shuffle of raw text at scale, where splits provide
+    * the width (the gate makes the choice size-adaptive, guide §2).
+    */
+  private[ops] def spread(df: DataFrame, parts: Int, idCol: String): DataFrame =
+    if (df.rdd.getNumPartitions >= math.min(parts, 8)) df
+    else df.repartition(parts, col(idCol))
+
   /** Exact duplicates: group by content hash; representative = min id.
-    * One shuffle on a 128-bit key; trivially scales.
+    * One shuffle on a 128-bit key; trivially scales. (No `spread` here —
+    * measured: md5 is cheap enough that the extra exchange costs more
+    * than the single-core hash pass it parallelizes.)
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_md5"))
@@ -120,9 +133,11 @@ object Dedup {
     // minhash permutations are bit-identical to the string path) inside
     // the band-key expression; band-hash collisions only ADD candidates,
     // which the exact verify removes.
-    val base = df
-      .select(col(idCol).cast("long").as("id"),
-        dedupFunctions.shingleHashes(col(textCol), shingleK, whole = true).as("sh"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = spread(df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")), parts, "id")
+      .select(col("id"),
+        dedupFunctions.shingleHashes(col("text"), shingleK, whole = true).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = base.select(
@@ -307,22 +322,25 @@ object Dedup {
     val mask = (1L << width) - 1
 
     // codegen tokenize+simhash in one expression — no typed-Dataset hop
-    val hashed = df.select(col(idCol).cast("long").as("id"),
-      dedupFunctions.simhash64(col(textCol)).as("sim"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val hashed = spread(df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")), parts, "id")
+      .select(col("id"), dedupFunctions.simhash64(col("text")).as("sim"))
 
-    // persisted: the band self-join reads both sides from this relation —
-    // without it the tokenize+simhash map runs twice
+    // persisted PRE-PARTITIONED on the band key: the self-join reads both
+    // sides from this relation with zero further exchanges (and without
+    // the persist the tokenize+simhash map would run twice)
     val banded = hashed.select(
       col("id"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> " +
           s"(shiftright(sim, b * $width) & $mask))"))
         .as(Seq("band", "key")))
+      .repartition(parts, col("band"), col("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // co-partitioned self-join, same expansion rationale as above
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sides = banded.repartition(parts, col("band"), col("key"))
+    val sides = banded
     val a = sides.select(col("band"), col("key"),
       col("id").as("id_a"), col("sim").as("sim_a")).hint("shuffle_hash")
     val b = sides.select(col("band"), col("key"),
@@ -378,12 +396,18 @@ object Dedup {
     // k-token string (3-6× the bytes at web scale). The per-doc set size
     // rides along on each row, so the Jaccard denominators come out of
     // the pair aggregation itself — no separate sizes groupBy and no two
-    // extra joins against it.
-    val docShingles = df
-      .select(col(idCol).cast("long").as("id"),
-        dedupFunctions.shingleHashes(col(textCol), shingleK, whole = true).as("shs"))
+    // extra joins against it. The persisted relation is PRE-PARTITIONED
+    // on the key, so the df-guard groupBy, the guard semi-join fallback,
+    // and the pair self-join all reuse this one exchange (zero further
+    // exchanges before the pair aggregation).
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val docShingles = spread(df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")), parts, "id")
+      .select(col("id"),
+        dedupFunctions.shingleHashes(col("text"), shingleK, whole = true).as("shs"))
       .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
       .select(col("id"), col("n"), col("s.h1").as("h1"), col("s.h2").as("h2"))
+      .repartition(parts, col("h1"), col("h2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val (filtered, dropsDf, dfCached) = hotKeyGuard(docShingles, Seq("h1", "h2"), maxShingleDf)
@@ -433,12 +457,16 @@ object Dedup {
     // same 128-bit-hash design as the n-gram miner: one codegen pass, and
     // the window inverted index shuffles 16-byte keys where it used to
     // shuffle the full 8-token window text (~50-100 bytes/row) — the
-    // engine's widest shuffle cut to a fraction of its bytes
-    val docWindows = df
-      .select(col(idCol).cast("long").as("id"),
-        dedupFunctions.shingleHashes(col(textCol), windowK, whole = false).as("ws"))
+    // engine's widest shuffle cut to a fraction of its bytes. Spread +
+    // key-pre-partitioned persist, same rationale as the n-gram miner.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val docWindows = spread(df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")), parts, "id")
+      .select(col("id"),
+        dedupFunctions.shingleHashes(col("text"), windowK, whole = false).as("ws"))
       .select(col("id"), explode(col("ws")).as("w"))
       .select(col("id"), col("w.h1").as("h1"), col("w.h2").as("h2"))
+      .repartition(parts, col("h1"), col("h2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val (filtered, dropsDf, dfCached) = hotKeyGuard(docWindows, Seq("h1", "h2"), maxWindowDf)
@@ -508,11 +536,17 @@ object Dedup {
     * come out as `<c>_a`/`<c>_b` aggregates — carrying the per-doc set
     * size this way removes the separate sizes groupBy plus two joins the
     * Jaccard denominators used to cost.
+    *
+    * `rel` arrives PRE-PARTITIONED on `keyCols` (the miners repartition
+    * before the persist, and the hot-key guard's broadcast anti-join /
+    * co-partitioned semi-join both preserve that partitioning), so the
+    * self-join plans with ZERO exchanges — the cached fixed-width
+    * partitioning also means AQE cannot coalesce the quadratic expansion
+    * onto one core.
     */
   private def pairCountsByKey(rel: DataFrame, keyCols: Seq[String],
       carryCols: Seq[String], outCol: String): DataFrame = {
-    val parts = rel.sparkSession.sessionState.conf.numShufflePartitions
-    val sides = rel.repartition(parts, keyCols.map(col): _*)
+    val sides = rel
     def side(sfx: String) = sides.select(
       keyCols.map(col) ++
         (col("id").as("id" + sfx) +: carryCols.map(c => col(c).as(c + sfx))): _*)

@@ -100,6 +100,64 @@ class OpsSpec extends AnyFunSuite {
     assert(drops.exists(_.droppedGroups == 1L), s"drops=$drops")
   }
 
+  test("round-7 codegen kernels match the string-path semantics bit-exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = "The quick brown Fox jumps over the lazy dog the quick brown fox 42"
+    val toks = graft.analysis.Analyzer.tokenize(text)
+    def pairsOf(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+    // ShingleHash128 = (Hash64, hash64b) of shingles(...).distinct /
+    // tokenWindows(...).distinct — the exact string-path sets, hashed
+    for ((whole, k) <- Seq((true, 3), (false, 8), (true, 5), (false, 20))) {
+      val expect = (if (whole) Dedup.shingles(toks, k) else Dedup.tokenWindows(toks, k))
+        .distinct.map(s => (Hash64(s), DedupKernels.hash64b(s))).toSeq
+      val got = pairsOf(DedupKernels.shingleHashes(UTF8String.fromString(text), k, whole))
+      assert(got == expect, s"whole=$whole k=$k")
+    }
+    // empty / null-safe short doc
+    assert(DedupKernels.shingleHashes(UTF8String.fromString(""), 3, true).numElements() == 0)
+    assert(DedupKernels.shingleHashes(UTF8String.fromString("a b"), 8, false).numElements() == 0)
+    // simhash kernel = Dedup.simhash64 over the analyzer stream
+    assert(DedupKernels.simhash64(UTF8String.fromString(text)) == Dedup.simhash64(toks))
+    // minhash band keys: signatures derive from h1 (= Hash64 of the
+    // shingle — bit-identical to the old string path), and band-key
+    // equality holds exactly when the r signature rows agree
+    val shA = DedupKernels.shingleHashes(UTF8String.fromString(text), 3, true)
+    val shB = DedupKernels.shingleHashes(
+      UTF8String.fromString(text + " plus further trailing tokens"), 3, true)
+    def h1s(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until a.numElements()).map(i => a.getStruct(i, 2).getLong(0)).toArray
+    val (m, bands) = (128, 32)
+    val r = m / bands
+    val sigA = Dedup.minhashSignature(h1s(shA), m, 42L)
+    val sigB = Dedup.minhashSignature(h1s(shB), m, 42L)
+    assert(sigA.toSeq == Dedup.minhashSignature(
+      Dedup.shingles(toks, 3).distinct.map(Hash64(_)), m, 42L).toSeq)
+    val bkA = DedupKernels.minhashBandKeys(shA, m, bands, 42L)
+    val bkB = DedupKernels.minhashBandKeys(shB, m, bands, 42L)
+    var agreeing = 0
+    (0 until bands).foreach { b =>
+      val sliceEq = (0 until r).forall(j => sigA(b * r + j) == sigB(b * r + j))
+      if (sliceEq) { agreeing += 1; assert(bkA.getLong(b) == bkB.getLong(b)) }
+    }
+    assert(agreeing > 0, "overlapping docs must agree on some band")
+    // cosineById = the hoisted-norm join arithmetic, same fold order
+    val va = Array(0.3, -0.2, 0.9, 0.1)
+    val vb = Array(0.5, 0.1, -0.4, 0.2)
+    def dot(x: Array[Double], y: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+    }
+    val (na, nb) = (math.sqrt(dot(va, va)), math.sqrt(dot(vb, vb)))
+    val map = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+    map.put(1L, (va, na)); map.put(2L, (vb, nb))
+    val bc = spark.sparkContext.broadcast(map)
+    try assert(AnnKernels.cosineById(1L, 2L, bc) == dot(va, vb) / (na * nb))
+    finally bc.destroy()
+  }
+
   test("ANN brute force: exact neighbors on constructed vectors") {
     import spark.implicits._
     val vecs = Seq(

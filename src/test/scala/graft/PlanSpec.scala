@@ -151,6 +151,27 @@ class PlanSpec extends AnyFunSuite {
     } finally cached.foreach(_.unpersist(blocking = false))
   }
 
+  test("pair miners repartition/self-join on the 128-bit hash, never the raw token string") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (ngOut, ngCached, _) = graft.ops.Dedup.ngramJaccardPairsPlan(
+      docs, "doc_id", "text", 3, 0.5, Long.MaxValue)
+    val (ppOut, ppCached, _) = graft.ops.Dedup.sharedPassagePairsPlan(
+      docs, "doc_id", "text", 8, graft.ops.Dedup.DefaultMaxShingleDf)
+    try {
+      for ((name, p) <- Seq(("ngram", plan(ngOut)), ("passage", plan(ppOut)))) {
+        assert(p.contains("graft_shingle_hash128"),
+          s"$name miner must hash shingles in codegen:\n$p")
+        // the quadratic self-join's exchange must be keyed on the two
+        // 64-bit hash halves — raw shingle/window strings through the
+        // wide shuffle is the round-6 'What's wrong #2'
+        assert("hashpartitioning\\(h1#\\d+L, h2#\\d+L".r.findFirstIn(p).nonEmpty,
+          s"$name self-join must repartition on (h1, h2):\n$p")
+        assert(!"hashpartitioning\\([^)]*(shingle|w)#\\d+[,)]".r.findFirstIn(p).isDefined,
+          s"$name must not shuffle a raw token-string column:\n$p")
+      }
+    } finally (ngCached ++ ppCached).foreach(_.unpersist(blocking = false))
+  }
+
   test("wand topK issues no terms-table job (driver-side stats) and one blocks shuffle") {
     val idx = SparkEntry.indexFor(spark, sf)
     assert(idx.termsLocal.nonEmpty, "bounded vocab must resolve driver-side")
