@@ -253,10 +253,15 @@ object Ann {
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = prep(df, idCol, vecCol)
-    val a = withNorm(p, idCol, "id_a", "v_a")
-    val b = withNorm(p, idCol, "id_b", "v_b")
-    a.crossJoin(b)
+    // the streamed side is spread (a small table arrives as one split and
+    // would run the O(N²) cosine scan on one core); the other side rides
+    // an explicit broadcast — same pairs, same per-pair arithmetic
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = withNorm(prep(
+      Dedup.spread(df.select(col(idCol), col(vecCol)), parts, idCol),
+      idCol, vecCol), idCol, "id_a", "v_a")
+    val b = withNorm(prep(df, idCol, vecCol), idCol, "id_b", "v_b")
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         cosineHoisted(col("v_a"), col("v_a_norm"), col("v_b"), col("v_b_norm")))

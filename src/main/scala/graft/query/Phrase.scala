@@ -49,6 +49,42 @@ object Phrase {
     * scan), grouped by document segment. Exposed for the plan audit;
     * `topK` persists + scores it.
     */
+  /** Segment-local matcher body shared by the plain and doclen-resolving
+    * plans: decode the phrase terms' positions, intersect on docID from
+    * the rarest term, count consecutive-position occurrences.
+    */
+  private def segMatches(
+      it: Iterator[PostingBlock],
+      distinctTerms: Seq[String],
+      slotsSeq: IndexedSeq[String]): scala.collection.mutable.ArrayBuffer[(Long, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val byTerm = it.toArray.groupBy(_.term)
+    if (distinctTerms.exists(t => !byTerm.contains(t))) return out
+    // per term: docId -> positions within this segment
+    val posByTerm: Map[String, java.util.HashMap[Long, Array[Int]]] =
+      byTerm.map { case (t, bs) =>
+        val m = new java.util.HashMap[Long, Array[Int]]()
+        bs.foreach { b =>
+          val (docs, _) = TermPostings.decodeBlock(b)
+          val ps = TermPostings.decodePositions(b)
+          var i = 0
+          while (i < docs.length) { m.put(docs(i), ps(i)); i += 1 }
+        }
+        t -> m
+      }
+    // candidates = docs holding every distinct term (iterate the
+    // rarest term's map, probe the others)
+    val rarest = distinctTerms.minBy(t => posByTerm(t).size)
+    posByTerm(rarest).forEach { (doc, _) =>
+      if (distinctTerms.forall(t => posByTerm(t).containsKey(doc))) {
+        val slotPs = slotsSeq.map(t => posByTerm(t).get(doc)).toArray
+        val c = countOccurrences(slotPs)
+        if (c > 0) out += ((doc, c))
+      }
+    }
+    out
+  }
+
   private[graft] def matchesPlan(
       idx: OpenIndex,
       slotsSeq: IndexedSeq[String]): org.apache.spark.sql.Dataset[(Long, Int)] = {
@@ -58,34 +94,36 @@ object Phrase {
     idx.postings
       .filter(col("term").isin(distinctTerms: _*))
       .groupByKey(_.seg)
-      .flatMapGroups { (_, it) =>
-        val byTerm = it.toArray.groupBy(_.term)
-        if (distinctTerms.exists(t => !byTerm.contains(t))) Iterator.empty
+      .flatMapGroups { (_, it) => segMatches(it, distinctTerms, slotsSeq).iterator }
+  }
+
+  /** Match plan that also resolves each match's doclen segment-locally
+    * from the broadcast norms (one VByte decode per segment, binary
+    * search per match — the same lookup WAND's fast path uses). With it
+    * the scoring pass needs NO join against the docs table at all.
+    */
+  private def matchesWithDlPlan(
+      idx: OpenIndex,
+      slotsSeq: IndexedSeq[String],
+      bc: org.apache.spark.broadcast.Broadcast[Map[Int, SegNorms]])
+      : org.apache.spark.sql.Dataset[(Long, Int, Long)] = {
+    val spark = idx.docs.sparkSession
+    import spark.implicits._
+    val distinctTerms = slotsSeq.distinct
+    idx.postings
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupByKey(_.seg)
+      .flatMapGroups { (seg, it) =>
+        val ms = segMatches(it, distinctTerms, slotsSeq)
+        if (ms.isEmpty) Iterator.empty
         else {
-          // per term: docId -> positions within this segment
-          val posByTerm: Map[String, java.util.HashMap[Long, Array[Int]]] =
-            byTerm.map { case (t, bs) =>
-              val m = new java.util.HashMap[Long, Array[Int]]()
-              bs.foreach { b =>
-                val (docs, _) = TermPostings.decodeBlock(b)
-                val ps = TermPostings.decodePositions(b)
-                var i = 0
-                while (i < docs.length) { m.put(docs(i), ps(i)); i += 1 }
-              }
-              t -> m
-            }
-          // candidates = docs holding every distinct term (iterate the
-          // rarest term's map, probe the others)
-          val rarest = distinctTerms.minBy(t => posByTerm(t).size)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-          posByTerm(rarest).forEach { (doc, _) =>
-            if (distinctTerms.forall(t => posByTerm(t).containsKey(doc))) {
-              val slotPs = slotsSeq.map(t => posByTerm(t).get(doc)).toArray
-              val c = countOccurrences(slotPs)
-              if (c > 0) out += ((doc, c))
-            }
+          val nm = bc.value(seg)
+          val docs = VByte.undeltas(nm.firstDoc, VByte.decode(nm.docDeltas, nm.n))
+          ms.iterator.map { case (d, ptf) =>
+            val i = java.util.Arrays.binarySearch(docs, d)
+            require(i >= 0, s"docId $d missing from norms of seg $seg")
+            (d, ptf, VByte.unpackIntAt(nm.doclens, i).toLong)
           }
-          out.iterator
         }
       }
   }
@@ -103,35 +141,60 @@ object Phrase {
 
     def emptyResult = Seq.empty[(Long, Double)].toDF("doc_id", "score")
     if (stats.nDocs == 0) return emptyResult
-
-    val matches = matchesPlan(idx, slotsSeq)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // exact global phrase df, then BM25 through the same kernel as WAND
-    val dfPhrase = matches.count()
-    if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
-    val idf = BM25.idf(stats.nDocs, dfPhrase)
     val avgdl = stats.avgdl
-    // the match set is usually tiny and broadcasts against the big docs
-    // table (the J4 hit-materialization shape) — but a stop-word phrase at
-    // corpus scale can match millions of docs, so the broadcast is gated
-    // on the just-computed exact df; past the bound the doclen resolution
-    // falls back to a shuffle join (both sides hash on doc_id)
-    val maxBroadcast = spark.conf.getOption("graft.query.phraseBroadcastMaxRows")
-      .map(_.toLong).getOrElse(1L << 22)
-    val matchesDF = matches.toDF("doc_id", "ptf")
-    val matchSide = if (dfPhrase <= maxBroadcast) broadcast(matchesDF) else matchesDF
-    val scored = idx.docs.select(col("doc_id"), col("doclen"))
-      .join(matchSide, "doc_id")
-      .select(col("doc_id"), col("ptf"), col("doclen"))
-      .as[(Long, Int, Long)]
-      .map { case (d, ptf, dl) => (d, idf * BM25.tfNorm(ptf.toLong, dl, avgdl)) }
-      .toDF("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-    // materialize the (tiny) top-k, release the match set
-    val rows = scored.collect()
-    matches.unpersist(blocking = true)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
+
+    idx.normsBroadcast match {
+      case Some(bc) =>
+        // fast path (norms fit the driver budget, same condition as
+        // WAND's): doclens resolve inside the segment matcher, so after
+        // the df count the scoring pass is pure per-row math over the
+        // persisted (tiny) match set — no docs-table scan, no broadcast
+        // build, no join
+        val matches = matchesWithDlPlan(idx, slotsSeq, bc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dfPhrase = matches.count()
+        if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
+        val idf = BM25.idf(stats.nDocs, dfPhrase)
+        val scored = matches
+          .map { case (d, ptf, dl) => (d, idf * BM25.tfNorm(ptf.toLong, dl, avgdl)) }
+          .toDF("doc_id", "score")
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k)
+        val rows = scored.collect()
+        matches.unpersist(blocking = true)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
+
+      case None =>
+        // scale path: norms too large to broadcast — resolve doclens by
+        // joining the match set against the docs table
+        val matches = matchesPlan(idx, slotsSeq)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+        // exact global phrase df, then BM25 through the same kernel as WAND
+        val dfPhrase = matches.count()
+        if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
+        val idf = BM25.idf(stats.nDocs, dfPhrase)
+        // the match set is usually tiny and broadcasts against the big docs
+        // table (the J4 hit-materialization shape) — but a stop-word phrase at
+        // corpus scale can match millions of docs, so the broadcast is gated
+        // on the just-computed exact df; past the bound the doclen resolution
+        // falls back to a shuffle join (both sides hash on doc_id)
+        val maxBroadcast = spark.conf.getOption("graft.query.phraseBroadcastMaxRows")
+          .map(_.toLong).getOrElse(1L << 22)
+        val matchesDF = matches.toDF("doc_id", "ptf")
+        val matchSide = if (dfPhrase <= maxBroadcast) broadcast(matchesDF) else matchesDF
+        val scored = idx.docs.select(col("doc_id"), col("doclen"))
+          .join(matchSide, "doc_id")
+          .select(col("doc_id"), col("ptf"), col("doclen"))
+          .as[(Long, Int, Long)]
+          .map { case (d, ptf, dl) => (d, idf * BM25.tfNorm(ptf.toLong, dl, avgdl)) }
+          .toDF("doc_id", "score")
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(k)
+        // materialize the (tiny) top-k, release the match set
+        val rows = scored.collect()
+        matches.unpersist(blocking = true)
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
+    }
   }
 }
