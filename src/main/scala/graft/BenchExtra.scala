@@ -21,6 +21,7 @@ object BenchExtra {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val only = args.headOption.map(_.split(",").toSet)
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference[String]("_warmup")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,20 +50,47 @@ object BenchExtra {
       })
     }
 
+    // optional shuffle-byte accounting (GRAFT_EXTRA_SHUFFLEBYTES=1): sum
+    // of shuffle write bytes + records per query (queries run
+    // sequentially, so attribution by the current job description is
+    // exact up to listener-flush lag). Evidence for shuffle-byte-cut
+    // claims — bytes are measured, not estimated.
+    val shuffleBytes = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    if (sys.env.get("GRAFT_EXTRA_SHUFFLEBYTES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            val w = m.shuffleWriteMetrics
+            val q = currentQuery.get()
+            shuffleBytes.merge(q, (w.bytesWritten, w.recordsWritten),
+              (a, b) => (a._1 + b._1, a._2 + b._2))
+          }
+        }
+      })
+
     SparkEntry.indexFor(spark, sfDir) // pre-build the shared index like Bench
 
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val series = scala.collection.mutable.LinkedHashMap(
       named.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
-    (1 to reps).foreach { _ =>
+    (1 to reps).foreach { rep =>
       named.foreach { case (n, fn) =>
         spark.sparkContext.setJobDescription(n)
+        currentQuery.set(s"$n#$rep")
         val t0 = System.nanoTime()
         val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         series(n) += sec
         println(f"[extra] $n%-34s ${sec}%7.3fs rows=$rows")
+      }
+    }
+    if (!shuffleBytes.isEmpty) {
+      Thread.sleep(1000) // let the listener bus drain
+      shuffleBytes.forEach { (q, v) =>
+        println(f"[shuffle] $q%-36s ${v._1 / 1048576.0}%9.2f MiB ${v._2}%10d records")
       }
     }
     val mins = named.map { case (n, _) => n -> series(n).min }
