@@ -102,7 +102,7 @@ object Phrase {
     * search per match — the same lookup WAND's fast path uses). With it
     * the scoring pass needs NO join against the docs table at all.
     */
-  private def matchesWithDlPlan(
+  private[graft] def matchesWithDlPlan(
       idx: OpenIndex,
       slotsSeq: IndexedSeq[String],
       bc: org.apache.spark.broadcast.Broadcast[Map[Int, SegNorms]])

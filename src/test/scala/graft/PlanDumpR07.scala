@@ -55,9 +55,21 @@ object PlanDumpR07 {
           docs.filter(col("doc_id") % 50 =!= 0),
           docs.filter(col("doc_id") % 50 === 0),
           "doc_id", "text", shingleK = 3, minOverlap = 2L), Nil)),
-      ("q_bm25_phrase_top10", "distributed positional phrase top-k",
-        () => (graft.query.Phrase.topK(spark, SparkEntry.indexFor(spark, sf),
-          "table hash", 10), Nil)),
+      // topK materializes its result (LocalTableScan), so the evidence
+      // plan is the internal segment-local matcher — the query's one
+      // heavy job. The doclen-resolving variant is the executed fast
+      // path whenever the norms broadcast exists (always at gate scale).
+      ("q_bm25_phrase_top10", "internal phrase match plan (doclen-resolving fast path)",
+        () => {
+          val idx = SparkEntry.indexFor(spark, sf)
+          val slots = graft.analysis.Analyzer.tokenize("table hash").toIndexedSeq
+          (idx.normsBroadcast match {
+            case Some(bc) =>
+              graft.query.Phrase.matchesWithDlPlan(idx, slots, bc)
+                .toDF("doc_id", "ptf", "doclen")
+            case None => graft.query.Phrase.matchesPlan(idx, slots).toDF("doc_id", "ptf")
+          }, Nil)
+        }),
       ("q_resume_antijoin", "ledger anti-join + pending counts",
         () => (SparkEntry.queries("q_resume_antijoin")(spark, sf), Nil)),
       ("q_upsert_lww", "last-write-wins upsert",
