@@ -176,14 +176,20 @@ object Ann {
       // bit-identical to the sequential loop regardless of scheduling
       val cs = centroids
       val assign = new Array[Int](data.length)
+      val firstErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val workers = (0 until nThreads).map { t =>
         val th = new Thread(() => {
-          var i = t
-          while (i < data.length) { assign(i) = nearest(data(i), cs); i += nThreads }
+          try {
+            var i = t
+            while (i < data.length) { assign(i) = nearest(data(i), cs); i += nThreads }
+          } catch { case e: Throwable => firstErr.compareAndSet(null, e) }
         })
         th.start(); th
       }
       workers.foreach(_.join())
+      // a worker failure must propagate like the sequential loop's did —
+      // not leave a stride silently assigned to cell 0
+      if (firstErr.get() != null) throw firstErr.get()
       // the fp accumulation stays SEQUENTIAL in data order — double
       // addition is not associative, so a parallel fold would change the
       // centroids (and with them the declared IVF gate's output)
@@ -255,13 +261,18 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the streamed side is spread (a small table arrives as one split and
     // would run the O(N²) cosine scan on one core); the other side rides
-    // an explicit broadcast — same pairs, same per-pair arithmetic
+    // an explicit broadcast ONLY when the planner's size estimate fits
+    // the same ~64 MB budget the LSH twin uses — an oversized input keeps
+    // the old CartesianProduct (slow but completing) instead of dying on
+    // the broadcast cap
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = withNorm(prep(
       Dedup.spread(df.select(col(idCol), col(vecCol)), parts, idCol),
       idCol, vecCol), idCol, "id_a", "v_a")
     val b = withNorm(prep(df, idCol, vecCol), idCol, "id_b", "v_b")
-    a.crossJoin(broadcast(b))
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bSide = if (estBytes <= BigInt(64L << 20)) broadcast(b) else b
+    a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         cosineHoisted(col("v_a"), col("v_a_norm"), col("v_b"), col("v_b_norm")))

@@ -57,15 +57,20 @@ private[ops] object CacheScope {
     // partition's worth, so the waves only add scheduler round-trips and
     // re-runs of the final stage. Raising the initial partition count runs
     // the take as ONE job; restored afterwards so querying code outside
-    // the ops keeps the default incremental-limit behavior.
+    // the ops keeps the default incremental-limit behavior. The
+    // set/take/restore runs under a JVM-wide lock: two ops sealing
+    // concurrently would otherwise race the restore and leak the setting
+    // into the session (the lock serializes only the sealed ops' final
+    // collect — their heavy stages were materialized by the persists).
     val initKey = "spark.sql.limit.initialNumPartitions"
-    val prevInit = spark.conf.getOption(initKey)
-    val rows =
+    val rows = CacheScope.synchronized {
+      val prevInit = spark.conf.getOption(initKey)
       try { spark.conf.set(initKey, "4096"); out.take(capRows + 1) }
       finally prevInit match {
         case Some(v) => spark.conf.set(initKey, v)
         case None => spark.conf.unset(initKey)
       }
+    }
     drops.foreach { d =>
       val r = d.head()
       onDrops(DropStats(r.getLong(0), r.getLong(1)))

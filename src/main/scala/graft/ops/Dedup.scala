@@ -52,10 +52,20 @@ object Dedup {
     * as wide as min(shuffle width, 8) keeps its natural split
     * parallelism — no shuffle of raw text at scale, where splits provide
     * the width (the gate makes the choice size-adaptive, guide §2).
+    *
+    * The probe reads the partition count off the NON-adaptive physical
+    * plan's lazily-built RDD — never `df.rdd`, which under AQE
+    * materializes every upstream query stage (running real shuffle jobs
+    * whose output the probe then orphans). A plan the probe cannot size
+    * is conservatively treated as already wide.
     */
-  private[ops] def spread(df: DataFrame, parts: Int, idCol: String): DataFrame =
-    if (df.rdd.getNumPartitions >= math.min(parts, 8)) df
+  private[ops] def spread(df: DataFrame, parts: Int, idCol: String): DataFrame = {
+    val n =
+      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    if (n >= math.min(parts, 8)) df
     else df.repartition(parts, col(idCol))
+  }
 
   /** Exact duplicates: group by content hash; representative = min id.
     * One shuffle on a 128-bit key; trivially scales. (No `spread` here —
@@ -321,11 +331,18 @@ object Dedup {
     val width = 64 / nBands
     val mask = (1L << width) - 1
 
-    // codegen tokenize+simhash in one expression — no typed-Dataset hop
+    // codegen tokenize+simhash in one expression — no typed-Dataset hop.
+    // distinct(): duplicated input ROWS must not inflate pair
+    // multiplicity now that the output no longer runs through a
+    // distinct() of its own — deduping here costs one (id, sim) exchange
+    // over one row per doc instead of a shuffle of every candidate pair.
+    // (For inputs carrying the SAME id with DIFFERENT text, each (id,
+    // sim) sketch still pairs independently, as before.)
     val parts = spark.sessionState.conf.numShufflePartitions
     val hashed = spread(df.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text")), parts, "id")
       .select(col("id"), dedupFunctions.simhash64(col("text")).as("sim"))
+      .distinct()
 
     // persisted PRE-PARTITIONED on the band key: the self-join reads both
     // sides from this relation with zero further exchanges (and without

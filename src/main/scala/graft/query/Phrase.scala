@@ -143,6 +143,21 @@ object Phrase {
     if (stats.nDocs == 0) return emptyResult
     val avgdl = stats.avgdl
 
+    // shared tail: score the (doc, ptf, doclen) matches as a pseudo-term
+    // through the BM25 kernel, materialize the tiny top-k, release the
+    // persisted match set
+    def scoreTopK(withDl: org.apache.spark.sql.Dataset[(Long, Int, Long)],
+        idf: Double, release: () => Unit): DataFrame = {
+      val scored = withDl
+        .map { case (d, ptf, dl) => (d, idf * BM25.tfNorm(ptf.toLong, dl, avgdl)) }
+        .toDF("doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+      val rows = scored.collect()
+      release()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
+    }
+
     idx.normsBroadcast match {
       case Some(bc) =>
         // fast path (norms fit the driver budget, same condition as
@@ -154,26 +169,17 @@ object Phrase {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dfPhrase = matches.count()
         if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
-        val idf = BM25.idf(stats.nDocs, dfPhrase)
-        val scored = matches
-          .map { case (d, ptf, dl) => (d, idf * BM25.tfNorm(ptf.toLong, dl, avgdl)) }
-          .toDF("doc_id", "score")
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(k)
-        val rows = scored.collect()
-        matches.unpersist(blocking = true)
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
+        scoreTopK(matches, BM25.idf(stats.nDocs, dfPhrase),
+          () => { matches.unpersist(blocking = true); () })
 
       case None =>
         // scale path: norms too large to broadcast — resolve doclens by
         // joining the match set against the docs table
         val matches = matchesPlan(idx, slotsSeq)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
         // exact global phrase df, then BM25 through the same kernel as WAND
         val dfPhrase = matches.count()
         if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
-        val idf = BM25.idf(stats.nDocs, dfPhrase)
         // the match set is usually tiny and broadcasts against the big docs
         // table (the J4 hit-materialization shape) — but a stop-word phrase at
         // corpus scale can match millions of docs, so the broadcast is gated
@@ -183,18 +189,12 @@ object Phrase {
           .map(_.toLong).getOrElse(1L << 22)
         val matchesDF = matches.toDF("doc_id", "ptf")
         val matchSide = if (dfPhrase <= maxBroadcast) broadcast(matchesDF) else matchesDF
-        val scored = idx.docs.select(col("doc_id"), col("doclen"))
+        val withDl = idx.docs.select(col("doc_id"), col("doclen"))
           .join(matchSide, "doc_id")
           .select(col("doc_id"), col("ptf"), col("doclen"))
           .as[(Long, Int, Long)]
-          .map { case (d, ptf, dl) => (d, idf * BM25.tfNorm(ptf.toLong, dl, avgdl)) }
-          .toDF("doc_id", "score")
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(k)
-        // materialize the (tiny) top-k, release the match set
-        val rows = scored.collect()
-        matches.unpersist(blocking = true)
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
+        scoreTopK(withDl, BM25.idf(stats.nDocs, dfPhrase),
+          () => { matches.unpersist(blocking = true); () })
     }
   }
 }

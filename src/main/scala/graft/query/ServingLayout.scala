@@ -93,6 +93,11 @@ object ServingLayout {
     * uses for its in-process shards.
     */
   private def loadGlobalDf(spark: SparkSession, outDir: String): java.util.HashMap[String, Long] = {
+    // the global terms table is MANDATORY (unlike a shard directory,
+    // which is legitimately absent when a shard owns zero segments) — a
+    // partial export must fail the open loudly, not serve zero hits
+    require(graft.ingest.Fs.exists(s"$outDir/terms"),
+      s"no global terms table at $outDir/terms — incomplete export")
     val df = new java.util.HashMap[String, Long]()
     readOr[TermStat](spark, s"$outDir/terms").foreach(t => df.put(t.term, t.df))
     df
