@@ -41,7 +41,8 @@ object BenchExtra {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           starts.put(js.jobId, (System.nanoTime(),
-            Option(js.properties.getProperty("spark.job.description")).getOrElse("?")))
+            Option(js.properties).flatMap(p =>
+              Option(p.getProperty("spark.job.description"))).getOrElse("?")))
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val s = starts.remove(je.jobId)
           if (s != null)

@@ -261,17 +261,19 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the streamed side is spread (a small table arrives as one split and
     // would run the O(N²) cosine scan on one core); the other side rides
-    // an explicit broadcast ONLY when the planner's size estimate fits
-    // the same ~64 MB budget the LSH twin uses — an oversized input keeps
-    // the old CartesianProduct (slow but completing) instead of dying on
-    // the broadcast cap
+    // an explicit broadcast ONLY when the planner's size estimate fits a
+    // conservative 8 MB budget — the estimate is the COMPRESSED source
+    // size (parquet dictionary/RLE can sit several × under the
+    // materialized rows), so the gate keeps an order-of-magnitude margin
+    // under the broadcast cap; an oversized input keeps the old
+    // CartesianProduct (slow but completing) instead of dying on the cap
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = withNorm(prep(
       Dedup.spread(df.select(col(idCol), col(vecCol)), parts, idCol),
       idCol, vecCol), idCol, "id_a", "v_a")
     val b = withNorm(prep(df, idCol, vecCol), idCol, "id_b", "v_b")
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bSide = if (estBytes <= BigInt(64L << 20)) broadcast(b) else b
+    val bSide = if (estBytes <= BigInt(8L << 20)) broadcast(b) else b
     a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
@@ -394,17 +396,28 @@ object Ann {
     val vecBytes = nVecs.toDouble * dim * 8
     val out =
       if (vecBytes <= 64e6) {
+        // null ids never produce verifiable pairs (id_a < id_b filters
+        // them), so they are skipped rather than NPE-ing the map build;
+        // a DUPLICATE id would make the map silently last-win where the
+        // join form emitted one verify row per duplicate — that input
+        // falls back to the join path instead of changing semantics
         val map = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+        var dupId = false
         vecs.select("id", "v", "v_norm").collect().foreach { r =>
-          map.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2)))
+          if (!r.isNullAt(0) &&
+              map.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))) != null)
+            dupId = true
         }
-        // a real Broadcast (torrent-fetched once per executor, reclaimed
-        // by the ContextCleaner like any broadcast-join relation)
-        val bc = spark.sparkContext.broadcast(map)
-        rawPairs
-          .withColumn("cosine", annFunctions.cosineByIds(col("id_a"), col("id_b"), bc))
-          .filter(col("cosine") >= threshold)
-          .distinct()
+        if (dupId) verifyByJoin(rawPairs.distinct())
+        else {
+          // a real Broadcast (torrent-fetched once per executor, reclaimed
+          // by the ContextCleaner like any broadcast-join relation)
+          val bc = spark.sparkContext.broadcast(map)
+          rawPairs
+            .withColumn("cosine", annFunctions.cosineByIds(col("id_a"), col("id_b"), bc))
+            .filter(col("cosine") >= threshold)
+            .distinct()
+        }
       } else verifyByJoin(rawPairs.distinct())
     (out, Seq(vecs, entries, keyCounts), Some(dropsDf))
   }

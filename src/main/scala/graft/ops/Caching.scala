@@ -62,6 +62,10 @@ private[ops] object CacheScope {
     // concurrently would otherwise race the restore and leak the setting
     // into the session (the lock serializes only the sealed ops' final
     // collect — their heavy stages were materialized by the persists).
+    // Known window: an UNRELATED query on the same session that runs a
+    // take()/limit during this op's collect sees the raised value — its
+    // first limit attempt scans wider than the default ramp; a
+    // first-attempt width nuance, never a correctness issue.
     val initKey = "spark.sql.limit.initialNumPartitions"
     val rows = CacheScope.synchronized {
       val prevInit = spark.conf.getOption(initKey)

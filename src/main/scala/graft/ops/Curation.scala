@@ -40,9 +40,10 @@ object Curation {
     val benchShingles = shingleRows(benchmark).select("h1", "h2").distinct()
     // spread the corpus scan before the analyze expression: a small
     // corpus arrives as one file split (one core); at scale the input's
-    // own splits provide the width and the spread is a no-op
+    // own splits provide the width and the spread is a no-op. Project to
+    // (id, text) FIRST so no unused column rides the spread exchange.
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    shingleRows(Dedup.spread(corpus, parts, idCol))
+    shingleRows(Dedup.spread(corpus.select(col(idCol), col(textCol)), parts, idCol))
       .join(broadcast(benchShingles), Seq("h1", "h2"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_hits"))

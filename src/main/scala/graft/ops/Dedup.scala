@@ -56,12 +56,22 @@ object Dedup {
     * The probe reads the partition count off the NON-adaptive physical
     * plan's lazily-built RDD — never `df.rdd`, which under AQE
     * materializes every upstream query stage (running real shuffle jobs
-    * whose output the probe then orphans). A plan the probe cannot size
-    * is conservatively treated as already wide.
+    * whose output the probe then orphans) — and only when the plan is a
+    * side-effect-free narrow chain: a tree holding an Exchange or a plan
+    * subquery would kick off broadcast/subquery jobs from its prepare()
+    * even on the non-adaptive copy, so such inputs (which arrive
+    * distributed by their own shuffle anyway) skip the spread instead of
+    * paying a discarded probe execution.
     */
   private[ops] def spread(df: DataFrame, parts: Int, idCol: String): DataFrame = {
+    val plan = df.queryExecution.sparkPlan
+    val effectful =
+      plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) ||
+        plan.exists(_.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
     val n =
-      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      if (effectful) Int.MaxValue
+      else try plan.execute().getNumPartitions
       catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
     if (n >= math.min(parts, 8)) df
     else df.repartition(parts, col(idCol))
@@ -336,8 +346,11 @@ object Dedup {
     // multiplicity now that the output no longer runs through a
     // distinct() of its own — deduping here costs one (id, sim) exchange
     // over one row per doc instead of a shuffle of every candidate pair.
-    // (For inputs carrying the SAME id with DIFFERENT text, each (id,
-    // sim) sketch still pairs independently, as before.)
+    // Precondition note: for inputs carrying the SAME id with DIFFERENT
+    // text, each distinct (id, sim) sketch pairs independently — two
+    // such sketches landing at the SAME hamming from a neighbor emit two
+    // identical output rows where the old output-distinct collapsed
+    // them; ids are expected unique (they are in every declared gate).
     val parts = spark.sessionState.conf.numShufflePartitions
     val hashed = spread(df.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text")), parts, "id")
