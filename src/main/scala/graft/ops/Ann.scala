@@ -396,19 +396,21 @@ object Ann {
     val vecBytes = nVecs.toDouble * dim * 8
     val out =
       if (vecBytes <= 64e6) {
-        // null ids never produce verifiable pairs (id_a < id_b filters
-        // them), so they are skipped rather than NPE-ing the map build;
-        // a DUPLICATE id would make the map silently last-win where the
-        // join form emitted one verify row per duplicate — that input
-        // falls back to the join path instead of changing semantics
+        // null ids/vectors never produce verifiable pairs (they yield no
+        // LSH entries, and id_a < id_b filters null ids), so they are
+        // skipped rather than NPE-ing the map build; a DUPLICATE id
+        // would make the map silently last-win where the join form
+        // emitted one verify row per duplicate — that input falls back
+        // to the OLD small-input shape (join all raw pairs, then
+        // distinct the output), bit-identical to the pre-map semantics
         val map = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
         var dupId = false
         vecs.select("id", "v", "v_norm").collect().foreach { r =>
-          if (!r.isNullAt(0) &&
+          if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
               map.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))) != null)
             dupId = true
         }
-        if (dupId) verifyByJoin(rawPairs.distinct())
+        if (dupId) verifyByJoin(rawPairs).distinct()
         else {
           // a real Broadcast (torrent-fetched once per executor, reclaimed
           // by the ContextCleaner like any broadcast-join relation)

@@ -36,6 +36,13 @@ object DropStats {
 private[ops] object CacheScope {
   final val MaterializeCapRows: Int = 1 << 20
 
+  // per-session seal locks (the conf being protected is per-session, so
+  // ops on DIFFERENT sessions must not serialize each other); weak keys
+  // so a retired session doesn't pin its lock
+  private val sealLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+
   /** Run `out`, report drop metrics, release `cached`, return the result.
     * `drops` is a 1-row (dropped_groups, dropped_entries) aggregate over
     * the op's persisted base — a count-only partial-agg job, run after the
@@ -58,16 +65,18 @@ private[ops] object CacheScope {
     // re-runs of the final stage. Raising the initial partition count runs
     // the take as ONE job; restored afterwards so querying code outside
     // the ops keeps the default incremental-limit behavior. The
-    // set/take/restore runs under a JVM-wide lock: two ops sealing
-    // concurrently would otherwise race the restore and leak the setting
-    // into the session (the lock serializes only the sealed ops' final
-    // collect — their heavy stages were materialized by the persists).
+    // set/take/restore runs under a PER-SESSION lock: two ops sealing
+    // concurrently on one session would otherwise race the restore and
+    // leak the setting (the lock serializes only that session's sealed
+    // ops' final collect — their heavy stages were materialized by the
+    // persists; ops on other sessions are unaffected).
     // Known window: an UNRELATED query on the same session that runs a
     // take()/limit during this op's collect sees the raised value — its
     // first limit attempt scans wider than the default ramp; a
     // first-attempt width nuance, never a correctness issue.
     val initKey = "spark.sql.limit.initialNumPartitions"
-    val rows = CacheScope.synchronized {
+    val lock = CacheScope.sealLocks.computeIfAbsent(spark, _ => new Object)
+    val rows = lock.synchronized {
       val prevInit = spark.conf.getOption(initKey)
       try { spark.conf.set(initKey, "4096"); out.take(capRows + 1) }
       finally prevInit match {
