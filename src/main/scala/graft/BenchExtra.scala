@@ -82,6 +82,10 @@ object BenchExtra {
         spark.sparkContext.setJobDescription(n)
         currentQuery.set(s"$n#$rep")
         val t0 = System.nanoTime()
+        // failure -> rows=-1 with the elapsed time still recorded: this
+        // DELIBERATELY mirrors the frozen Bench.scala phase-1 behavior so
+        // the numbers stay comparable; a -1 row count in the console is
+        // the failure signal (the frozen harness has the same property)
         val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
         series(n) += sec

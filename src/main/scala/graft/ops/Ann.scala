@@ -406,9 +406,15 @@ object Ann {
         val map = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
         var dupId = false
         vecs.select("id", "v", "v_norm").collect().foreach { r =>
-          if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
-              map.put(r.getLong(0), (r.getSeq[Double](1).toArray, r.getDouble(2))) != null)
-            dupId = true
+          if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) {
+            // null ELEMENTS read as 0.0, matching ArrayData.getDouble's
+            // behavior in the join-form cosine kernel
+            val s = r.getSeq[java.lang.Double](1)
+            val arr = new Array[Double](s.length)
+            var i = 0
+            s.foreach { x => arr(i) = if (x == null) 0.0 else x.doubleValue; i += 1 }
+            if (map.put(r.getLong(0), (arr, r.getDouble(2))) != null) dupId = true
+          }
         }
         if (dupId) verifyByJoin(rawPairs).distinct()
         else {

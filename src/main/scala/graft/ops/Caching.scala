@@ -36,12 +36,15 @@ object DropStats {
 private[ops] object CacheScope {
   final val MaterializeCapRows: Int = 1 << 20
 
-  // per-session seal locks (the conf being protected is per-session, so
-  // ops on DIFFERENT sessions must not serialize each other); weak keys
-  // so a retired session doesn't pin its lock
-  private val sealLocks =
+  // per-session SEAL SESSIONS: a clone sharing the SparkContext and the
+  // CacheManager (persisted relations stay visible) whose OWN SQLConf
+  // carries the one-wave-take override — the setting is never visible to
+  // the parent session or any other query on it, and concurrent seals
+  // need no lock. Weak keys so a retired session doesn't pin its clone.
+  private val sealSessions =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.SparkSession]())
 
   /** Run `out`, report drop metrics, release `cached`, return the result.
     * `drops` is a 1-row (dropped_groups, dropped_entries) aggregate over
@@ -62,28 +65,20 @@ private[ops] object CacheScope {
     // take() submits incremental limit jobs (1 partition, then ×4, ×16 …)
     // — for a sealed sketch op the output is almost never under one
     // partition's worth, so the waves only add scheduler round-trips and
-    // re-runs of the final stage. Raising the initial partition count runs
-    // the take as ONE job; restored afterwards so querying code outside
-    // the ops keeps the default incremental-limit behavior. The
-    // set/take/restore runs under a PER-SESSION lock: two ops sealing
-    // concurrently on one session would otherwise race the restore and
-    // leak the setting (the lock serializes only that session's sealed
-    // ops' final collect — their heavy stages were materialized by the
-    // persists; ops on other sessions are unaffected).
-    // Known window: an UNRELATED query on the same session that runs a
-    // take()/limit during this op's collect sees the raised value — its
-    // first limit attempt scans wider than the default ramp; a
-    // first-attempt width nuance, never a correctness issue.
-    val initKey = "spark.sql.limit.initialNumPartitions"
-    val lock = CacheScope.sealLocks.computeIfAbsent(spark, _ => new Object)
-    val rows = lock.synchronized {
-      val prevInit = spark.conf.getOption(initKey)
-      try { spark.conf.set(initKey, "4096"); out.take(capRows + 1) }
-      finally prevInit match {
-        case Some(v) => spark.conf.set(initKey, v)
-        case None => spark.conf.unset(initKey)
-      }
-    }
+    // re-runs of the final stage. The take runs on a cached per-session
+    // CLONE whose own SQLConf raises the initial limit width (one job,
+    // no waves): nothing is ever mutated on the caller's session, no
+    // other query can observe the setting, and concurrent seals — on one
+    // session or many — proceed without any lock. The clone shares the
+    // CacheManager, so the op's persisted relations are still hit.
+    val sealSession = CacheScope.sealSessions.computeIfAbsent(spark, { s =>
+      val c = org.apache.spark.sql.GraftBridge.cloneSession(s)
+      c.conf.set("spark.sql.limit.initialNumPartitions", "4096")
+      c
+    })
+    val rows = org.apache.spark.sql.GraftBridge
+      .ofRows(sealSession, out.queryExecution.logical)
+      .take(capRows + 1)
     drops.foreach { d =>
       val r = d.head()
       onDrops(DropStats(r.getLong(0), r.getLong(1)))

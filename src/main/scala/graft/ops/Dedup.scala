@@ -369,11 +369,11 @@ object Dedup {
       .repartition(parts, col("band"), col("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // co-partitioned self-join, same expansion rationale as above
-    val sides = banded
-    val a = sides.select(col("band"), col("key"),
+    // co-partitioned self-join off the cached pre-partitioned relation —
+    // zero further exchanges, same expansion rationale as above
+    val a = banded.select(col("band"), col("key"),
       col("id").as("id_a"), col("sim").as("sim_a")).hint("shuffle_hash")
-    val b = sides.select(col("band"), col("key"),
+    val b = banded.select(col("band"), col("key"),
       col("id").as("id_b"), col("sim").as("sim_b"))
     // A pair matching in d bands would surface d times; instead of a
     // distinct() (a full shuffle of the candidate stream) each pair is
@@ -576,8 +576,7 @@ object Dedup {
     */
   private def pairCountsByKey(rel: DataFrame, keyCols: Seq[String],
       carryCols: Seq[String], outCol: String): DataFrame = {
-    val sides = rel
-    def side(sfx: String) = sides.select(
+    def side(sfx: String) = rel.select(
       keyCols.map(col) ++
         (col("id").as("id" + sfx) +: carryCols.map(c => col(c).as(c + sfx))): _*)
     val a = side("_a").hint("shuffle_hash")

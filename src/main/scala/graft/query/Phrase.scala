@@ -135,7 +135,6 @@ object Phrase {
     import spark.implicits._
     val slots = Analyzer.tokenize(phrase) // ordered, duplicates preserved
     require(slots.nonEmpty, "empty phrase")
-    val distinctTerms = slots.distinct.toSeq
     val stats = idx.stats
     val slotsSeq = slots.toIndexedSeq
 
