@@ -48,6 +48,23 @@ case class SegNorms(
     docDeltas: Array[Byte],
     doclens: Array[Byte])  // fixed 4-byte LE ints, aligned with docIDs
 
+object SegNorms {
+  /** Decoded ascending docIDs of a norms row — the one decode every
+    * doclen consumer (WAND, serving, phrase) shares.
+    */
+  def docsOf(n: SegNorms): Array[Long] =
+    VByte.undeltas(n.firstDoc, VByte.decode(n.docDeltas, n.n))
+
+  /** doclen of `docId` via binary search over `docsOf(n)`; a missing doc
+    * is an index-corruption invariant violation, not a soft miss.
+    */
+  def doclenAt(n: SegNorms, docs: Array[Long], docId: Long): Int = {
+    val i = java.util.Arrays.binarySearch(docs, docId)
+    require(i >= 0, s"docId $docId missing from norms of seg ${n.seg}")
+    VByte.unpackIntAt(n.doclens, i)
+  }
+}
+
 case class TermStat(term: String, df: Long, cf: Long)
 
 case class IndexStats(nDocs: Long, avgdl: Double, nTerms: Long, totalTokens: Long)

@@ -272,7 +272,10 @@ object Ann {
       Dedup.spread(df.select(col(idCol), col(vecCol)), parts, idCol),
       idCol, vecCol), idCol, "id_a", "v_a")
     val b = withNorm(prep(df, idCol, vecCol), idCol, "id_b", "v_b")
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // gate on the PRUNED (id, vec) projection's estimate — the full
+    // input may carry wide unrelated columns that never ride the join
+    val estBytes = df.select(col(idCol), col(vecCol))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
     val bSide = if (estBytes <= BigInt(8L << 20)) broadcast(b) else b
     a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))

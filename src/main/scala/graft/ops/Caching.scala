@@ -36,15 +36,6 @@ object DropStats {
 private[ops] object CacheScope {
   final val MaterializeCapRows: Int = 1 << 20
 
-  // per-session SEAL SESSIONS: a clone sharing the SparkContext and the
-  // CacheManager (persisted relations stay visible) whose OWN SQLConf
-  // carries the one-wave-take override — the setting is never visible to
-  // the parent session or any other query on it, and concurrent seals
-  // need no lock. Weak keys so a retired session doesn't pin its clone.
-  private val sealSessions =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        org.apache.spark.sql.SparkSession]())
 
   /** Run `out`, report drop metrics, release `cached`, return the result.
     * `drops` is a 1-row (dropped_groups, dropped_entries) aggregate over
@@ -65,17 +56,16 @@ private[ops] object CacheScope {
     // take() submits incremental limit jobs (1 partition, then ×4, ×16 …)
     // — for a sealed sketch op the output is almost never under one
     // partition's worth, so the waves only add scheduler round-trips and
-    // re-runs of the final stage. The take runs on a cached per-session
+    // re-runs of the final stage. The take runs on a short-lived session
     // CLONE whose own SQLConf raises the initial limit width (one job,
     // no waves): nothing is ever mutated on the caller's session, no
     // other query can observe the setting, and concurrent seals — on one
     // session or many — proceed without any lock. The clone shares the
-    // CacheManager, so the op's persisted relations are still hit.
-    val sealSession = CacheScope.sealSessions.computeIfAbsent(spark, { s =>
-      val c = org.apache.spark.sql.GraftBridge.cloneSession(s)
-      c.conf.set("spark.sql.limit.initialNumPartitions", "4096")
-      c
-    })
+    // CacheManager, so the op's persisted relations are still hit; a
+    // fresh ~ms clone per seal (seals run seconds) beats caching clones,
+    // which would pin retired parent sessions for the JVM's life.
+    val sealSession = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    sealSession.conf.set("spark.sql.limit.initialNumPartitions", "4096")
     val rows = org.apache.spark.sql.GraftBridge
       .ofRows(sealSession, out.queryExecution.logical)
       .take(capRows + 1)

@@ -118,11 +118,9 @@ object Phrase {
         if (ms.isEmpty) Iterator.empty
         else {
           val nm = bc.value(seg)
-          val docs = VByte.undeltas(nm.firstDoc, VByte.decode(nm.docDeltas, nm.n))
+          val docs = SegNorms.docsOf(nm)
           ms.iterator.map { case (d, ptf) =>
-            val i = java.util.Arrays.binarySearch(docs, d)
-            require(i >= 0, s"docId $d missing from norms of seg $seg")
-            (d, ptf, VByte.unpackIntAt(nm.doclens, i).toLong)
+            (d, ptf, SegNorms.doclenAt(nm, docs, d).toLong)
           }
         }
       }

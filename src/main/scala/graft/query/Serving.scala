@@ -450,7 +450,7 @@ object Serving {
   private[query] def normsMapOf(rows: Array[SegNorms]): java.util.HashMap[Integer, (Array[Long], Array[Int])] = {
     val norms = new java.util.HashMap[Integer, (Array[Long], Array[Int])]()
     rows.foreach { n =>
-      val ds = VByte.undeltas(n.firstDoc, VByte.decode(n.docDeltas, n.n))
+      val ds = SegNorms.docsOf(n)
       val ls = Array.tabulate(n.n)(i => VByte.unpackIntAt(n.doclens, i))
       norms.put(n.seg, (ds, ls))
     }

@@ -99,12 +99,8 @@ object Wand {
     // doclen lookup: binary search over the seg's sorted docIDs
     require(norms.length == 1, s"expected 1 norms row per seg, got ${norms.length}")
     val nm = norms(0)
-    val normDocs = VByte.undeltas(nm.firstDoc, VByte.decode(nm.docDeltas, nm.n))
-    def doclen(docId: Long): Long = {
-      val i = java.util.Arrays.binarySearch(normDocs, docId)
-      require(i >= 0, s"docId $docId missing from norms of seg ${nm.seg}")
-      VByte.unpackIntAt(nm.doclens, i).toLong
-    }
+    val normDocs = SegNorms.docsOf(nm)
+    def doclen(docId: Long): Long = SegNorms.doclenAt(nm, normDocs, docId).toLong
     segTopKWith(blocks, doclen, idfs, avgdl, k, TermPostings.decodeBlock)
   }
 
