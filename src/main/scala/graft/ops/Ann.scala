@@ -268,14 +268,14 @@ object Ann {
     // under the broadcast cap; an oversized input keeps the old
     // CartesianProduct (slow but completing) instead of dying on the cap
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = withNorm(prep(
-      Dedup.spread(df.select(col(idCol), col(vecCol)), parts, idCol),
-      idCol, vecCol), idCol, "id_a", "v_a")
+    // one pruned (id, vec) projection feeds both the spread probe and
+    // the broadcast gate — the full input may carry wide unrelated
+    // columns that never ride the join
+    val pruned = df.select(col(idCol), col(vecCol))
+    val a = withNorm(prep(Dedup.spread(pruned, parts, idCol), idCol, vecCol),
+      idCol, "id_a", "v_a")
     val b = withNorm(prep(df, idCol, vecCol), idCol, "id_b", "v_b")
-    // gate on the PRUNED (id, vec) projection's estimate — the full
-    // input may carry wide unrelated columns that never ride the join
-    val estBytes = df.select(col(idCol), col(vecCol))
-      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val estBytes = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
     val bSide = if (estBytes <= BigInt(8L << 20)) broadcast(b) else b
     a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))

@@ -36,6 +36,30 @@ object DropStats {
 private[ops] object CacheScope {
   final val MaterializeCapRows: Int = 1 << 20
 
+  // per-session seal-session cache with WEAK key AND value: the clone
+  // strongly references its parent (SessionState closure), so a strong
+  // value would make the weak key unreclaimable; a weak value lets GC
+  // take the clone (its ExecutionListenerBus unregisters via the
+  // ContextCleaner) and a later seal simply re-clones. Races just build
+  // one extra short-lived clone.
+  private val sealSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession]]())
+
+  private def sealSessionFor(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val ref = sealSessions.get(spark)
+    val cached = if (ref != null) ref.get else null
+    if (cached != null) cached
+    else {
+      val c = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+      c.conf.set("spark.sql.limit.initialNumPartitions", "4096")
+      sealSessions.put(spark, new java.lang.ref.WeakReference(c))
+      c
+    }
+  }
+
 
   /** Run `out`, report drop metrics, release `cached`, return the result.
     * `drops` is a 1-row (dropped_groups, dropped_entries) aggregate over
@@ -56,18 +80,15 @@ private[ops] object CacheScope {
     // take() submits incremental limit jobs (1 partition, then ×4, ×16 …)
     // — for a sealed sketch op the output is almost never under one
     // partition's worth, so the waves only add scheduler round-trips and
-    // re-runs of the final stage. The take runs on a short-lived session
-    // CLONE whose own SQLConf raises the initial limit width (one job,
-    // no waves): nothing is ever mutated on the caller's session, no
-    // other query can observe the setting, and concurrent seals — on one
-    // session or many — proceed without any lock. The clone shares the
-    // CacheManager, so the op's persisted relations are still hit; a
-    // fresh ~ms clone per seal (seals run seconds) beats caching clones,
-    // which would pin retired parent sessions for the JVM's life.
-    val sealSession = org.apache.spark.sql.GraftBridge.cloneSession(spark)
-    sealSession.conf.set("spark.sql.limit.initialNumPartitions", "4096")
+    // re-runs of the final stage. The take runs on a per-session CLONE
+    // (weakly cached above) whose own SQLConf raises the initial limit
+    // width (one job, no waves): nothing is ever mutated on the caller's
+    // session, no other query can observe the setting, and concurrent
+    // seals — on one session or many — proceed without any lock. The
+    // clone shares the CacheManager, so the op's persisted relations are
+    // still hit.
     val rows = org.apache.spark.sql.GraftBridge
-      .ofRows(sealSession, out.queryExecution.logical)
+      .ofRows(CacheScope.sealSessionFor(spark), out.queryExecution.logical)
       .take(capRows + 1)
     drops.foreach { d =>
       val r = d.head()

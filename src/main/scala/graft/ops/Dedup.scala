@@ -56,22 +56,28 @@ object Dedup {
     * The probe reads the partition count off the NON-adaptive physical
     * plan's lazily-built RDD — never `df.rdd`, which under AQE
     * materializes every upstream query stage (running real shuffle jobs
-    * whose output the probe then orphans) — and only when the plan is a
-    * side-effect-free narrow chain: a tree holding an Exchange or a plan
-    * subquery would kick off broadcast/subquery jobs from its prepare()
-    * even on the non-adaptive copy, so such inputs (which arrive
-    * distributed by their own shuffle anyway) skip the spread instead of
-    * paying a discarded probe execution.
+    * whose output the probe then orphans) — and only for a plain
+    * scan-shaped LOGICAL plan (leaf/project/filter/alias chain with no
+    * plan subqueries): anything wider (joins, aggregates, explicit
+    * repartitions) either arrives distributed by its own shuffle or
+    * would pay side effects from the probe's prepare() (broadcast and
+    * subquery stages kick off there even on the non-adaptive copy) —
+    * those inputs skip the spread instead. The physical-plan check alone
+    * is NOT enough: implicit exchanges are inserted by EnsureRequirements
+    * during executedPlan preparation, after `sparkPlan`.
     */
   private[ops] def spread(df: DataFrame, parts: Int, idCol: String): DataFrame = {
-    val plan = df.queryExecution.sparkPlan
-    val effectful =
-      plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]) ||
-        plan.exists(_.expressions.exists(_.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+    import org.apache.spark.sql.catalyst.plans.logical
+    val lp = df.queryExecution.optimizedPlan
+    val scanShaped = lp.collect { case n => n }.forall {
+      case _: logical.LeafNode => true
+      case _: logical.Project | _: logical.Filter | _: logical.SubqueryAlias => true
+      case _ => false
+    } && !lp.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
     val n =
-      if (effectful) Int.MaxValue
-      else try plan.execute().getNumPartitions
+      if (!scanShaped) Int.MaxValue
+      else try df.queryExecution.sparkPlan.execute().getNumPartitions
       catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
     if (n >= math.min(parts, 8)) df
     else df.repartition(parts, col(idCol))
@@ -327,6 +333,11 @@ object Dedup {
     * the pigeonhole principle: split 64 bits into (maxDist+1) bands — any
     * pair within maxDist matches exactly on ≥1 band, so candidates come
     * from equality joins on band keys (scales; no all-pairs scan).
+    *
+    * Ids are expected UNIQUE per row (duplicated identical rows are
+    * deduped internally); an input carrying one id with several distinct
+    * texts pairs each distinct (id, sketch) independently and can emit
+    * repeated (id_a, id_b, hamming) rows.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {

@@ -74,8 +74,15 @@ object AnnKernels {
   def cosineById(a: Long, b: Long, bcObj: AnyRef): Double = {
     val m = bcObj.asInstanceOf[org.apache.spark.broadcast.Broadcast[
       java.util.HashMap[java.lang.Long, (Array[Double], Double)]]].value
-    val (va, na) = m.get(a)
-    val (vb, nb) = m.get(b)
+    val ea = m.get(a)
+    val eb = m.get(b)
+    // every candidate id comes from the same relation the map was built
+    // over — a miss means the invariant broke (e.g. a recomputed cache
+    // block over a changed source); name the id instead of MatchError
+    require(ea != null && eb != null,
+      s"vector id ${if (ea == null) a else b} missing from the broadcast verify map")
+    val (va, na) = ea
+    val (vb, nb) = eb
     val n = math.min(va.length, vb.length)
     var s = 0.0
     var i = 0
