@@ -90,6 +90,10 @@ object BenchExtra {
         val sec = (System.nanoTime() - t0) / 1e9
         series(n) += sec
         println(f"[extra] $n%-34s ${sec}%7.3fs rows=$rows")
+        // in byte-accounting mode, let the async listener bus drain
+        // before switching currentQuery so late stage-completed events
+        // are charged to the query that ran them (outside the timer)
+        if (sys.env.get("GRAFT_EXTRA_SHUFFLEBYTES").contains("1")) Thread.sleep(400)
       }
     }
     if (!shuffleBytes.isEmpty) {

@@ -261,22 +261,23 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // the streamed side is spread (a small table arrives as one split and
     // would run the O(N²) cosine scan on one core); the other side rides
-    // an explicit broadcast ONLY when the planner's size estimate fits a
-    // conservative 8 MB budget — the estimate is the COMPRESSED source
-    // size (parquet dictionary/RLE can sit several × under the
-    // materialized rows), so the gate keeps an order-of-magnitude margin
-    // under the broadcast cap; an oversized input keeps the old
-    // CartesianProduct (slow but completing) instead of dying on the cap
+    // an explicit broadcast ONLY when the MEASURED payload (nVecs×dim×8,
+    // one cheap agg over the pruned projection — this op is about to do
+    // an O(N²) scan, so one O(N) pass is noise) fits an 8 MB budget.
+    // Planner estimates were rejected here: they reflect the COMPRESSED
+    // source, which dictionary/RLE parquet can hold 50-100× under the
+    // materialized rows. An oversized input keeps the old
+    // CartesianProduct (slow but completing) instead of dying on the cap.
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // one pruned (id, vec) projection feeds both the spread probe and
-    // the broadcast gate — the full input may carry wide unrelated
-    // columns that never ride the join
     val pruned = df.select(col(idCol), col(vecCol))
     val a = withNorm(prep(Dedup.spread(pruned, parts, idCol), idCol, vecCol),
       idCol, "id_a", "v_a")
     val b = withNorm(prep(df, idCol, vecCol), idCol, "id_b", "v_b")
-    val estBytes = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bSide = if (estBytes <= BigInt(8L << 20)) broadcast(b) else b
+    val m = pruned
+      .agg(first(size(col(vecCol).cast("array<double>"))), count(lit(1))).head()
+    val measuredBytes =
+      if (m.isNullAt(0)) Double.MaxValue else m.getLong(1).toDouble * m.getInt(0) * 8
+    val bSide = if (measuredBytes <= (8L << 20).toDouble) broadcast(b) else b
     a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
@@ -394,9 +395,12 @@ object Ann {
     // candidate rows at 16 bytes and is bit-identical arithmetic. Past
     // broadcast size the verify becomes shuffled joins, so dedupe the
     // (id,id) pairs first and join vectors once per pair. Cutoff is
-    // BYTE-based (~64 MB of raw vector payload), not row-based — a row
-    // cutoff would happily broadcast gigabytes of wide embeddings.
-    val vecBytes = nVecs.toDouble * dim * 8
+    // BYTE-based (~64 MB), not row-based — a row cutoff would happily
+    // broadcast gigabytes of wide embeddings — and charges each entry
+    // its JVM map overhead (~120 B: HashMap.Node + boxed key + Tuple2 +
+    // boxed norm + array header) so a low-dim corpus with many rows
+    // can't blow the driver past the budget on bookkeeping alone.
+    val vecBytes = nVecs.toDouble * (dim * 8 + 120)
     val out =
       if (vecBytes <= 64e6) {
         // null ids/vectors never produce verifiable pairs (they yield no

@@ -36,28 +36,18 @@ object DropStats {
 private[ops] object CacheScope {
   final val MaterializeCapRows: Int = 1 << 20
 
-  // per-session seal-session cache with WEAK key AND value: the clone
-  // strongly references its parent (SessionState closure), so a strong
-  // value would make the weak key unreclaimable; a weak value lets GC
-  // take the clone (its ExecutionListenerBus unregisters via the
-  // ContextCleaner) and a later seal simply re-clones. Races just build
-  // one extra short-lived clone.
-  private val sealSessions =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession]]())
-
+  // A FRESH clone per seal, deliberately not cached: a cached clone
+  // freezes the parent's SQLConf at first-seal time (later session conf
+  // changes — ANSI mode, timezone — would be ignored by sealed ops, and
+  // a weakly-held clone would flip back nondeterministically after a
+  // GC). The per-seal cost is a ~ms SessionState clone plus a transient
+  // listener-bus registration (reclaimed with the clone) against seconds
+  // of sealed work.
   private def sealSessionFor(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
-    val ref = sealSessions.get(spark)
-    val cached = if (ref != null) ref.get else null
-    if (cached != null) cached
-    else {
-      val c = org.apache.spark.sql.GraftBridge.cloneSession(spark)
-      c.conf.set("spark.sql.limit.initialNumPartitions", "4096")
-      sealSessions.put(spark, new java.lang.ref.WeakReference(c))
-      c
-    }
+    val c = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    c.conf.set("spark.sql.limit.initialNumPartitions", "4096")
+    c
   }
 
 
@@ -80,8 +70,8 @@ private[ops] object CacheScope {
     // take() submits incremental limit jobs (1 partition, then ×4, ×16 …)
     // — for a sealed sketch op the output is almost never under one
     // partition's worth, so the waves only add scheduler round-trips and
-    // re-runs of the final stage. The take runs on a per-session CLONE
-    // (weakly cached above) whose own SQLConf raises the initial limit
+    // re-runs of the final stage. The take runs on a fresh session CLONE
+    // (see sealSessionFor) whose own SQLConf raises the initial limit
     // width (one job, no waves): nothing is ever mutated on the caller's
     // session, no other query can observe the setting, and concurrent
     // seals — on one session or many — proceed without any lock. The

@@ -155,43 +155,36 @@ object Phrase {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), scored.schema)
     }
 
-    idx.normsBroadcast match {
-      case Some(bc) =>
-        // fast path (norms fit the driver budget, same condition as
-        // WAND's): doclens resolve inside the segment matcher, so after
-        // the df count the scoring pass is pure per-row math over the
-        // persisted (tiny) match set — no docs-table scan, no broadcast
-        // build, no join
-        val matches = matchesWithDlPlan(idx, slotsSeq, bc)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dfPhrase = matches.count()
-        if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
-        scoreTopK(matches, BM25.idf(stats.nDocs, dfPhrase),
-          () => { matches.unpersist(blocking = true); () })
-
-      case None =>
-        // scale path: norms too large to broadcast — resolve doclens by
-        // joining the match set against the docs table
-        val matches = matchesPlan(idx, slotsSeq)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // exact global phrase df, then BM25 through the same kernel as WAND
-        val dfPhrase = matches.count()
-        if (dfPhrase == 0) { matches.unpersist(blocking = false); return emptyResult }
-        // the match set is usually tiny and broadcasts against the big docs
-        // table (the J4 hit-materialization shape) — but a stop-word phrase at
-        // corpus scale can match millions of docs, so the broadcast is gated
-        // on the just-computed exact df; past the bound the doclen resolution
-        // falls back to a shuffle join (both sides hash on doc_id)
-        val maxBroadcast = spark.conf.getOption("graft.query.phraseBroadcastMaxRows")
-          .map(_.toLong).getOrElse(1L << 22)
-        val matchesDF = matches.toDF("doc_id", "ptf")
-        val matchSide = if (dfPhrase <= maxBroadcast) broadcast(matchesDF) else matchesDF
-        val withDl = idx.docs.select(col("doc_id"), col("doclen"))
-          .join(matchSide, "doc_id")
-          .select(col("doc_id"), col("ptf"), col("doclen"))
-          .as[(Long, Int, Long)]
-        scoreTopK(withDl, BM25.idf(stats.nDocs, dfPhrase),
-          () => { matches.unpersist(blocking = true); () })
+    // branch only on HOW (doc, ptf, doclen) is produced: the fast path
+    // (norms fit the driver budget, same condition as WAND's) resolves
+    // doclens inside the segment matcher — no docs-table scan, no
+    // broadcast build, no join after the df count; the scale path joins
+    // the match set against the docs table. Everything else (persist,
+    // exact global phrase df, empty short-circuit, BM25 scoring,
+    // top-k collect, release) is the shared tail below.
+    val fastMatches = idx.normsBroadcast.map(bc => matchesWithDlPlan(idx, slotsSeq, bc))
+    val slowMatches = if (fastMatches.isEmpty) Some(matchesPlan(idx, slotsSeq)) else None
+    val persisted: org.apache.spark.sql.Dataset[_] =
+      fastMatches.getOrElse(slowMatches.get)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfPhrase = persisted.count()
+    if (dfPhrase == 0) { persisted.unpersist(blocking = false); return emptyResult }
+    val withDl = fastMatches.getOrElse {
+      // the match set is usually tiny and broadcasts against the big docs
+      // table (the J4 hit-materialization shape) — but a stop-word phrase
+      // at corpus scale can match millions of docs, so the broadcast is
+      // gated on the just-computed exact df; past the bound the doclen
+      // resolution falls back to a shuffle join (both sides hash on doc_id)
+      val maxBroadcast = spark.conf.getOption("graft.query.phraseBroadcastMaxRows")
+        .map(_.toLong).getOrElse(1L << 22)
+      val matchesDF = slowMatches.get.toDF("doc_id", "ptf")
+      val matchSide = if (dfPhrase <= maxBroadcast) broadcast(matchesDF) else matchesDF
+      idx.docs.select(col("doc_id"), col("doclen"))
+        .join(matchSide, "doc_id")
+        .select(col("doc_id"), col("ptf"), col("doclen"))
+        .as[(Long, Int, Long)]
     }
+    scoreTopK(withDl, BM25.idf(stats.nDocs, dfPhrase),
+      () => { persisted.unpersist(blocking = true); () })
   }
 }
