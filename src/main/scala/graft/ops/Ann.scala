@@ -256,6 +256,11 @@ object Ann {
   /** Embedding near-duplicate pairs: all (a < b) with cosine ≥ threshold.
     * Exact quadratic form — the small-scale oracle ONLY (O(N²) pairs);
     * `lshNearDupPairs` below is the scale path.
+    *
+    * NOTE: constructing the plan runs one O(N) measurement pass over the
+    * input (the broadcast-vs-cartesian gate needs the real payload size;
+    * compressed planner estimates under-count by up to 100×) — accepted
+    * eagerness for an op that is about to do O(N²) work.
     */
   def nearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -336,9 +341,14 @@ object Ann {
     val vecs = withNorm(p, idCol, "id", "v").persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (dim, p0, nVecs) = {
-      val r = vecs.agg(first(size(col("v"))), count(lit(1))).head()
+      // ignoreNulls: dim must come from a real vector — a null-embedding
+      // row landing first would otherwise zero the hyperplane dimension
+      // and collapse every bucket (partition-order-dependent!). An
+      // all-null corpus yields no entries at all, so dim 0 is inert.
+      val r = vecs.agg(first(size(col("v")), ignoreNulls = true), count(lit(1))).head()
       val auto = math.ceil(math.log(math.max(r.getLong(1), 2L) / 32.0) / math.log(2)).toInt
-      (r.getInt(0), if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)), r.getLong(1))
+      (if (r.isNullAt(0)) 0 else r.getInt(0),
+        if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)), r.getLong(1))
     }
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, p0, seed + 7919L * t))
 
