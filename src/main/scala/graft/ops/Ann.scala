@@ -278,10 +278,16 @@ object Ann {
     val a = withNorm(prep(Dedup.spread(pruned, parts, idCol), idCol, vecCol),
       idCol, "id_a", "v_a")
     val b = withNorm(prep(df, idCol, vecCol), idCol, "id_b", "v_b")
+    // ignoreNulls so a null-embedding row landing first can't decide the
+    // gate partition-order-dependently; the dim > 0 check also defuses
+    // legacy sizeOfNull (-1) configurations, where a negative measured
+    // size would otherwise force-broadcast an arbitrarily large table
     val m = pruned
-      .agg(first(size(col(vecCol).cast("array<double>"))), count(lit(1))).head()
+      .agg(first(size(col(vecCol).cast("array<double>")), ignoreNulls = true),
+        count(lit(1))).head()
     val measuredBytes =
-      if (m.isNullAt(0)) Double.MaxValue else m.getLong(1).toDouble * m.getInt(0) * 8
+      if (m.isNullAt(0) || m.getInt(0) <= 0) Double.MaxValue
+      else m.getLong(1).toDouble * m.getInt(0) * 8
     val bSide = if (measuredBytes <= (8L << 20).toDouble) broadcast(b) else b
     a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))
@@ -347,7 +353,7 @@ object Ann {
       // all-null corpus yields no entries at all, so dim 0 is inert.
       val r = vecs.agg(first(size(col("v")), ignoreNulls = true), count(lit(1))).head()
       val auto = math.ceil(math.log(math.max(r.getLong(1), 2L) / 32.0) / math.log(2)).toInt
-      (if (r.isNullAt(0)) 0 else r.getInt(0),
+      (if (r.isNullAt(0)) 0 else math.max(0, r.getInt(0)), // max: legacy sizeOfNull is -1
         if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)), r.getLong(1))
     }
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, p0, seed + 7919L * t))
@@ -357,14 +363,16 @@ object Ann {
     // one partition and the quadratic pair expansion runs on one core —
     // the join keeps the expansion distributed across the key hash space.
     // Keys come from the codegen'd LshBucketKeys expression (this map runs
-    // over every corpus row — no ScalaUDF hop). The persisted entries are
-    // PRE-PARTITIONED on the bucket key: the count groupBy, the cap
-    // semi-join and the pair self-join all reuse this one fixed-width
-    // exchange (which AQE cannot coalesce — the quadratic expansion stays
-    // spread across the key space).
+    // over every corpus row — no ScalaUDF hop). Entries persist UNKEYED:
+    // the maxBucket cap exists precisely because a degenerate bucket can
+    // hold a huge fraction of the corpus, and a key-partitioned persist
+    // would funnel that bucket's rows into one straggler partition
+    // before the cap drops them — the key exchange happens after the
+    // okKeys semi-join below, over surviving buckets only (the count
+    // groupBy shuffles partial-aggregated rows, so hot keys cost it
+    // nothing).
     val entries = vecs
       .select(col("id"), explode(annFunctions.lshKeys(col("v"), tables, probeBits)).as("key"))
-      .repartition(parts, col("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket sizes computed ONCE (tiny: one row per distinct key,
     // persisted) and consumed by both the cap filter and the drop-metrics
@@ -377,7 +385,11 @@ object Ann {
       .filter(col("n") > maxBucket)
       .agg(count(lit(1)).as("dropped_groups"),
         coalesce(sum(col("n")), lit(0L)).as("dropped_entries"))
+    // explicit numPartitions repartition (post-guard — over surviving
+    // buckets only), which AQE never coalesces: the quadratic pair
+    // expansion stays spread across the key space
     val bounded = entries.join(okKeys, Seq("key"), "left_semi")
+      .repartition(parts, col("key"))
     val rawPairs = bounded.select(col("key"), col("id").as("id_a")).hint("shuffle_hash")
       .join(bounded.select(col("key"), col("id").as("id_b")), "key")
       .filter(col("id_a") < col("id_b"))

@@ -437,23 +437,32 @@ object Dedup {
     // k-token string (3-6× the bytes at web scale). The per-doc set size
     // rides along on each row, so the Jaccard denominators come out of
     // the pair aggregation itself — no separate sizes groupBy and no two
-    // extra joins against it. The persisted relation is PRE-PARTITIONED
-    // on the key, so the df-guard groupBy, the guard semi-join fallback,
-    // and the pair self-join all reuse this one exchange (zero further
-    // exchanges before the pair aggregation).
+    // extra joins against it.
+    //
+    // Partitioning: in UNBOUNDED mode (the small-corpus oracle form) the
+    // persisted relation is pre-partitioned on the key, so the self-join
+    // plans with zero further exchanges. In BOUNDED mode the key
+    // exchange happens AFTER the hot-key guard (inside pairCountsByKey):
+    // a hot key's rows must never ride a key-partitioned shuffle into
+    // one straggler partition only to be dropped by the guard — the
+    // guard's own df count shuffles partial-aggregated (key, count) rows
+    // only, so hot keys cost it nothing.
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val docShingles = spread(df.select(col(idCol).cast("long").as("id"),
+    val bounded = maxShingleDf != Long.MaxValue
+    val exploded = spread(df.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text")), parts, "id")
       .select(col("id"),
         dedupFunctions.shingleHashes(col("text"), shingleK, whole = true).as("shs"))
       .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
       .select(col("id"), col("n"), col("s.h1").as("h1"), col("s.h2").as("h2"))
-      .repartition(parts, col("h1"), col("h2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docShingles =
+      (if (bounded) exploded else exploded.repartition(parts, col("h1"), col("h2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val (filtered, dropsDf, dfCached) = hotKeyGuard(docShingles, Seq("h1", "h2"), maxShingleDf)
 
-    val inter = pairCountsByKey(filtered, Seq("h1", "h2"), Seq("n"), "common")
+    val inter = pairCountsByKey(filtered, Seq("h1", "h2"), Seq("n"), "common",
+      repartitionKeys = bounded)
 
     val out = inter
       .withColumn("jaccard",
@@ -498,21 +507,25 @@ object Dedup {
     // same 128-bit-hash design as the n-gram miner: one codegen pass, and
     // the window inverted index shuffles 16-byte keys where it used to
     // shuffle the full 8-token window text (~50-100 bytes/row) — the
-    // engine's widest shuffle cut to a fraction of its bytes. Spread +
-    // key-pre-partitioned persist, same rationale as the n-gram miner.
+    // engine's widest shuffle cut to a fraction of its bytes. Spread and
+    // the bounded/unbounded partitioning split follow the n-gram miner's
+    // rationale (hot windows must not ride a key exchange pre-guard).
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val docWindows = spread(df.select(col(idCol).cast("long").as("id"),
+    val bounded = maxWindowDf != Long.MaxValue
+    val exploded = spread(df.select(col(idCol).cast("long").as("id"),
         col(textCol).as("text")), parts, "id")
       .select(col("id"),
         dedupFunctions.shingleHashes(col("text"), windowK, whole = false).as("ws"))
       .select(col("id"), explode(col("ws")).as("w"))
       .select(col("id"), col("w.h1").as("h1"), col("w.h2").as("h2"))
-      .repartition(parts, col("h1"), col("h2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docWindows =
+      (if (bounded) exploded else exploded.repartition(parts, col("h1"), col("h2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val (filtered, dropsDf, dfCached) = hotKeyGuard(docWindows, Seq("h1", "h2"), maxWindowDf)
 
-    val out = pairCountsByKey(filtered, Seq("h1", "h2"), Nil, "shared")
+    val out = pairCountsByKey(filtered, Seq("h1", "h2"), Nil, "shared",
+      repartitionKeys = bounded)
       .select("id_a", "id_b", "shared")
     (out, Seq(docWindows) ++ dfCached, dropsDf)
   }
@@ -578,15 +591,22 @@ object Dedup {
     * size this way removes the separate sizes groupBy plus two joins the
     * Jaccard denominators used to cost.
     *
-    * `rel` arrives PRE-PARTITIONED on `keyCols` (the miners repartition
-    * before the persist, and the hot-key guard's broadcast anti-join /
-    * co-partitioned semi-join both preserve that partitioning), so the
-    * self-join plans with ZERO exchanges — the cached fixed-width
-    * partitioning also means AQE cannot coalesce the quadratic expansion
-    * onto one core.
+    * `repartitionKeys = true` (bounded mode): the input was NOT
+    * key-partitioned upstream — the hot-key guard must see the raw
+    * relation first — so the self-join repartitions here, AFTER the
+    * guard removed the hot keys. `false` (unbounded mode): `rel` arrives
+    * PRE-PARTITIONED on `keyCols` (the miners repartition before the
+    * persist) and the self-join plans with ZERO exchanges. Either way
+    * the explicit numPartitions partitioning means AQE cannot coalesce
+    * the quadratic expansion onto one core.
     */
-  private def pairCountsByKey(rel: DataFrame, keyCols: Seq[String],
-      carryCols: Seq[String], outCol: String): DataFrame = {
+  private def pairCountsByKey(rel0: DataFrame, keyCols: Seq[String],
+      carryCols: Seq[String], outCol: String,
+      repartitionKeys: Boolean): DataFrame = {
+    val rel =
+      if (!repartitionKeys) rel0
+      else rel0.repartition(
+        rel0.sparkSession.sessionState.conf.numShufflePartitions, keyCols.map(col): _*)
     def side(sfx: String) = rel.select(
       keyCols.map(col) ++
         (col("id").as("id" + sfx) +: carryCols.map(c => col(c).as(c + sfx))): _*)
