@@ -105,7 +105,11 @@ object Ann {
     require(probeBits >= 0 && probeBits <= 2, "probeBits 0..2 supported")
     import org.apache.spark.sql.expressions.Window
 
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // ignoreNulls + clamp: a null-embedding row landing first must not
+    // zero the hyperplane dimension partition-order-dependently (legacy
+    // sizeOfNull yields -1 rather than null — clamped for the same reason)
+    val dimRow = corpus.agg(first(size(col(vecCol)), ignoreNulls = true)).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else math.max(0, dimRow.getInt(0))
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, nPlanes, seed + 7919L * t))
 
     // bucket keys via the codegen'd LshBucketKeys expression — the corpus
@@ -135,7 +139,9 @@ object Ann {
   def trainIvfCentroids(df: DataFrame, nCells: Int, iters: Int = 8,
       seed: Long = 42L, trainCap: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
-    val sample = df.orderBy(col(idCol)).limit(trainCap)
+    // null embeddings carry no training signal and would NPE the collect
+    val sample = df.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(trainCap)
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training sample")
@@ -285,9 +291,12 @@ object Ann {
     val m = pruned
       .agg(first(size(col(vecCol).cast("array<double>")), ignoreNulls = true),
         count(lit(1))).head()
+    // per-row surcharge (~120 B of UnsafeRow/relation bookkeeping), like
+    // the LSH verify-map gate: a low-dim many-row table must not pass on
+    // raw payload alone
     val measuredBytes =
       if (m.isNullAt(0) || m.getInt(0) <= 0) Double.MaxValue
-      else m.getLong(1).toDouble * m.getInt(0) * 8
+      else m.getLong(1).toDouble * (m.getInt(0) * 8 + 120)
     val bSide = if (measuredBytes <= (8L << 20).toDouble) broadcast(b) else b
     a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))

@@ -207,9 +207,11 @@ object Dedup {
     val out = pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      // codegen O(|A|+|B|) set kernel: array_intersect/array_union on
+      // struct elements fall off Spark's hash fast path into O(|A|·|B|)
+      // ordering scans per candidate pair — quadratic per pair on long
+      // documents. Division semantics identical (incl. 0/0 → NaN).
+      .withColumn("jaccard", dedupFunctions.jaccard128(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     (out, Seq(base, bandGroups), Some(dropsDf))

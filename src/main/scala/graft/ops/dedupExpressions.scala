@@ -13,26 +13,59 @@ import graft.analysis.Analyzer
   * NOT a companion — so the generated Java's static calls survive Janino
   * (see graft.analysis.Kernels).
   *
-  * The 128-bit shingle hash (h1, h2) is two INDEPENDENT polynomial
-  * hashes computed in one pass: h1 is the existing `Hash64` (the minhash
-  * permutations are seeded from it, so signatures stay bit-identical to
-  * the string path) and h2 a second base/offset. Downstream equality on
-  * (h1, h2) collides only when BOTH 64-bit polynomials collide — at
-  * 100 TB (~2^40 distinct shingles) the expected number of colliding
-  * PAIRS is ~2^(80-128) ≈ 0, where a single 64-bit key would already
-  * collide for ~2^16 pairs.
+  * The 128-bit shingle hash (h1, h2) combines TWO hash families: h1 is
+  * the existing polynomial `Hash64` (the minhash permutations are seeded
+  * from it, so signatures stay bit-identical to the string path) and h2
+  * an xxhash64-family block hash. Downstream equality on (h1, h2)
+  * collides only when both collide — ~2^(80-128) expected colliding
+  * PAIRS at 100 TB (~2^40 distinct shingles), where a single 64-bit key
+  * would already collide for ~2^16 pairs — and the mixed families mean
+  * no known adversarial construction (anti-polynomial Thue-Morse
+  * strings break every odd-base polynomial mod 2^64 at once) collides
+  * both.
   */
 object DedupKernels {
-  final val Base2 = 0x27d4eb2f165667c5L // odd 64-bit mixer (xxhash prime)
 
-  /** h2: second polynomial hash, independent of Hash64 (different base
-    * and offset).
+  /** h2: xxhash64 over the UTF-8 bytes — a DIFFERENT hash family from
+    * the polynomial h1, deliberately: two polynomial hashes mod 2^64
+    * share the classic anti-polynomial collision constructions
+    * (Thue-Morse-style strings collide for every odd base at once), so
+    * "128-bit" equality from two polynomials degrades to one family
+    * under adversarial text. An avalanche-based block hash has no known
+    * joint collision family with the polynomial.
     */
   def hash64b(s: String): Long = {
-    var h = 0x9e3779b97f4a7c15L
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** Exact Jaccard of two DISTINCT 128-bit shingle-hash arrays in
+    * O(|A|+|B|) via one hash set — `array_intersect`/`array_union` on
+    * struct elements fall off Spark's fast path (structs have no "proper
+    * equals" there) into O(|A|·|B|) ordering scans per pair. Division
+    * semantics match the former size(intersect)/size(union) columns
+    * exactly, including NaN for two empty sets.
+    */
+  def jaccard128(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val seen = new java.util.HashSet[(Long, Long)](math.max(16, na * 2))
     var i = 0
-    while (i < s.length) { h = h * Base2 + s.charAt(i); i += 1 }
-    h
+    while (i < na) {
+      val r = a.getStruct(i, 2)
+      seen.add((r.getLong(0), r.getLong(1)))
+      i += 1
+    }
+    var common = 0
+    i = 0
+    while (i < nb) {
+      val r = b.getStruct(i, 2)
+      if (seen.contains((r.getLong(0), r.getLong(1)))) common += 1
+      i += 1
+    }
+    val union = na + nb - common
+    common.toDouble / union.toDouble // 0/0 -> NaN, as the column form did
   }
 
   private val shType = new StructType()
@@ -134,6 +167,24 @@ case class MinhashBandKeys(child: Expression, m: Int, bands: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Codegen'd O(|A|+|B|) exact Jaccard over 128-bit shingle-hash arrays. */
+case class JaccardHash128(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard128"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DedupKernels.jaccard128(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ops.DedupKernels.jaccard128($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardHash128 =
+    copy(left = l, right = r)
+}
+
 /** Codegen'd tokenize + SimHash-64 in one pass. */
 case class SimhashText(child: Expression) extends UnaryExpression {
 
@@ -159,4 +210,7 @@ private[ops] object dedupFunctions {
     GraftBridge.column(MinhashBandKeys(GraftBridge.expression(c), m, bands, seed))
   def simhash64(c: Column): Column =
     GraftBridge.column(SimhashText(GraftBridge.expression(c.cast("string"))))
+  def jaccard128(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardHash128(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }
