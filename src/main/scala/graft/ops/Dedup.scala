@@ -433,35 +433,12 @@ object Dedup {
   private[graft] def ngramJaccardPairsPlan(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, threshold: Double, maxShingleDf: Long)
       : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
-    // ONE codegen pass (tokenize → k-gram → distinct 128-bit hashes): no
-    // typed-Dataset ser/de hop, and the persisted relation plus every
-    // downstream shuffle carry a 16-byte (h1, h2) key instead of the raw
-    // k-token string (3-6× the bytes at web scale). The per-doc set size
-    // rides along on each row, so the Jaccard denominators come out of
-    // the pair aggregation itself — no separate sizes groupBy and no two
-    // extra joins against it.
-    //
-    // Partitioning: in UNBOUNDED mode (the small-corpus oracle form) the
-    // persisted relation is pre-partitioned on the key, so the self-join
-    // plans with zero further exchanges. In BOUNDED mode the key
-    // exchange happens AFTER the hot-key guard (inside pairCountsByKey):
-    // a hot key's rows must never ride a key-partitioned shuffle into
-    // one straggler partition only to be dropped by the guard — the
-    // guard's own df count shuffles partial-aggregated (key, count) rows
-    // only, so hot keys cost it nothing.
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bounded = maxShingleDf != Long.MaxValue
-    val exploded = spread(df.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("text")), parts, "id")
-      .select(col("id"),
-        dedupFunctions.shingleHashes(col("text"), shingleK, whole = true).as("shs"))
-      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
-      .select(col("id"), col("n"), col("s.h1").as("h1"), col("s.h2").as("h2"))
-    val docShingles =
-      (if (bounded) exploded else exploded.repartition(parts, col("h1"), col("h2")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val (filtered, dropsDf, dfCached) = hotKeyGuard(docShingles, Seq("h1", "h2"), maxShingleDf)
+    // The per-doc set size rides along on each row, so the Jaccard
+    // denominators come out of the pair aggregation itself — no separate
+    // sizes groupBy and no two extra joins against it.
+    val (docShingles, filtered, dropsDf, dfCached, bounded) =
+      hashedInvertedIndex(df, idCol, textCol, shingleK, whole = true,
+        carrySize = true, maxDf = maxShingleDf)
 
     val inter = pairCountsByKey(filtered, Seq("h1", "h2"), Seq("n"), "common",
       repartitionKeys = bounded)
@@ -472,6 +449,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     (out, Seq(docShingles) ++ dfCached, dropsDf)
+  }
+
+  /** Shared miner scaffold: spread → ONE codegen pass (tokenize → k-gram
+    * → distinct 128-bit hashes — no typed-Dataset ser/de hop, and every
+    * downstream shuffle carries a 16-byte (h1, h2) key instead of the
+    * raw k-token string, 3-6× the bytes at web scale) → explode →
+    * persist → hot-key guard.
+    *
+    * Partitioning: in UNBOUNDED mode (the small-corpus oracle form) the
+    * persisted relation is pre-partitioned on the key, so the self-join
+    * plans with zero further exchanges. In BOUNDED mode the key exchange
+    * happens AFTER the hot-key guard (inside pairCountsByKey): a hot
+    * key's rows must never ride a key-partitioned shuffle into one
+    * straggler partition only to be dropped by the guard — the guard's
+    * own df count shuffles partial-aggregated (key, count) rows only,
+    * so hot keys cost it nothing.
+    *
+    * Returns (persisted relation, guarded relation, drop metrics, guard
+    * cache, bounded).
+    */
+  private def hashedInvertedIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, whole: Boolean, carrySize: Boolean, maxDf: Long)
+      : (DataFrame, DataFrame, Option[DataFrame], Option[DataFrame], Boolean) = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounded = maxDf != Long.MaxValue
+    val hashed = spread(df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("text")), parts, "id")
+      .select(col("id"), dedupFunctions.shingleHashes(col("text"), k, whole).as("shs"))
+    val withGen =
+      if (carrySize)
+        hashed.select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
+      else hashed.select(col("id"), explode(col("shs")).as("s"))
+    val exploded = withGen.select(
+      Seq(col("id")) ++ (if (carrySize) Seq(col("n")) else Nil) ++
+        Seq(col("s.h1").as("h1"), col("s.h2").as("h2")): _*)
+    val rel =
+      (if (bounded) exploded else exploded.repartition(parts, col("h1"), col("h2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (filtered, dropsDf, dfCached) = hotKeyGuard(rel, Seq("h1", "h2"), maxDf)
+    (rel, filtered, dropsDf, dfCached, bounded)
   }
 
   /** Exact-passage duplication: document pairs sharing at least one
@@ -506,25 +523,15 @@ object Dedup {
   private[graft] def sharedPassagePairsPlan(df: DataFrame, idCol: String,
       textCol: String, windowK: Int, maxWindowDf: Long)
       : (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
-    // same 128-bit-hash design as the n-gram miner: one codegen pass, and
-    // the window inverted index shuffles 16-byte keys where it used to
+    // the same hashedInvertedIndex scaffold as the n-gram miner, with
+    // `whole = false` (a sub-k-token doc yields NO window) and no carried
+    // size — the signal is the shared-window count, not Jaccard. The
+    // window inverted index shuffles 16-byte keys where it used to
     // shuffle the full 8-token window text (~50-100 bytes/row) — the
-    // engine's widest shuffle cut to a fraction of its bytes. Spread and
-    // the bounded/unbounded partitioning split follow the n-gram miner's
-    // rationale (hot windows must not ride a key exchange pre-guard).
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bounded = maxWindowDf != Long.MaxValue
-    val exploded = spread(df.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("text")), parts, "id")
-      .select(col("id"),
-        dedupFunctions.shingleHashes(col("text"), windowK, whole = false).as("ws"))
-      .select(col("id"), explode(col("ws")).as("w"))
-      .select(col("id"), col("w.h1").as("h1"), col("w.h2").as("h2"))
-    val docWindows =
-      (if (bounded) exploded else exploded.repartition(parts, col("h1"), col("h2")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val (filtered, dropsDf, dfCached) = hotKeyGuard(docWindows, Seq("h1", "h2"), maxWindowDf)
+    // engine's widest shuffle cut to a fraction of its bytes.
+    val (docWindows, filtered, dropsDf, dfCached, bounded) =
+      hashedInvertedIndex(df, idCol, textCol, windowK, whole = false,
+        carrySize = false, maxDf = maxWindowDf)
 
     val out = pairCountsByKey(filtered, Seq("h1", "h2"), Nil, "shared",
       repartitionKeys = bounded)

@@ -87,7 +87,11 @@ object AnnKernels {
     var s = 0.0
     var i = 0
     while (i < n) { s += va(i) * vb(i); i += 1 }
-    s / (na * nb)
+    // zero-norm pair: Spark's Divide made the join-form cosine NULL and
+    // the threshold filter dropped it; raw 0/0 would be NaN, which Spark
+    // compares GREATER than everything — -Inf preserves the drop
+    val d = na * nb
+    if (d == 0.0) Double.NegativeInfinity else s / d
   }
 
   /** Indices of the `n` nearest centroids to the L2-normalized vector,

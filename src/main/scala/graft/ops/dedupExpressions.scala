@@ -43,9 +43,13 @@ object DedupKernels {
   /** Exact Jaccard of two DISTINCT 128-bit shingle-hash arrays in
     * O(|A|+|B|) via one hash set — `array_intersect`/`array_union` on
     * struct elements fall off Spark's fast path (structs have no "proper
-    * equals" there) into O(|A|·|B|) ordering scans per pair. Division
-    * semantics match the former size(intersect)/size(union) columns
-    * exactly, including NaN for two empty sets.
+    * equals" there) into O(|A|·|B|) ordering scans per pair.
+    *
+    * Two EMPTY sets return -Infinity: Spark's (non-ANSI) Divide yields
+    * NULL on a zero divisor, which the miner's `>= threshold` filter
+    * dropped — raw Java 0/0 would give NaN, and Spark compares NaN
+    * GREATER than everything, silently passing the filter. -Inf fails
+    * every finite threshold exactly as the old NULL did.
     */
   def jaccard128(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
@@ -65,7 +69,7 @@ object DedupKernels {
       i += 1
     }
     val union = na + nb - common
-    common.toDouble / union.toDouble // 0/0 -> NaN, as the column form did
+    if (union == 0) Double.NegativeInfinity else common.toDouble / union.toDouble
   }
 
   private val shType = new StructType()

@@ -158,6 +158,34 @@ class OpsSpec extends AnyFunSuite {
     finally bc.destroy()
   }
 
+  test("round-7: empty-set Jaccard and zero-norm cosine never pass the verify filters") {
+    // Spark's (non-ANSI) Divide yields NULL on zero divisors, which the
+    // old column-form verifies dropped via `>= threshold`; the codegen
+    // kernels must preserve the drop (-Inf), NOT raw-Java NaN — Spark
+    // compares NaN GREATER than everything
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val empty = new GenericArrayData(Array.empty[AnyRef])
+    assert(DedupKernels.jaccard128(empty, empty).isNegInfinity)
+    val zmap = new java.util.HashMap[java.lang.Long, (Array[Double], Double)]()
+    zmap.put(1L, (Array(0.0, 0.0), 0.0))
+    zmap.put(2L, (Array(0.0, 0.0), 0.0))
+    val zbc = spark.sparkContext.broadcast(zmap)
+    try assert(AnnKernels.cosineById(1L, 2L, zbc).isNegInfinity)
+    finally zbc.destroy()
+    // end to end: two empty-token docs share all-sentinel minhash
+    // signatures (they bucket together in every band) but must emit NO
+    // pair even at threshold 0
+    val df = docs((1L, ""), (2L, "..."), (3L, "real tokens here alpha beta gamma"))
+    assert(Dedup.minhashLsh(df, "doc_id", "text", shingleK = 3, m = 128,
+      bands = 32, threshold = 0.0).count() == 0)
+    // and two zero vectors (deterministic shared all-ones LSH buckets)
+    // must emit no pair at any finite threshold
+    import spark.implicits._
+    val zvecs = Seq((1L, Array.fill(8)(0.0f)), (2L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Ann.lshNearDupPairs(zvecs, threshold = -1.0, nPlanes = 4).count() == 0)
+  }
+
   test("ANN brute force: exact neighbors on constructed vectors") {
     import spark.implicits._
     val vecs = Seq(
