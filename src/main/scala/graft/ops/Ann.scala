@@ -290,13 +290,16 @@ object Ann {
     // size would otherwise force-broadcast an arbitrarily large table
     val m = pruned
       .agg(first(size(col(vecCol).cast("array<double>")), ignoreNulls = true),
-        count(lit(1))).head()
+        count(lit(1)),
+        coalesce(sum(greatest(size(col(vecCol).cast("array<double>")), lit(0))),
+          lit(0L))).head()
     // per-row surcharge (~120 B of UnsafeRow/relation bookkeeping), like
-    // the LSH verify-map gate: a low-dim many-row table must not pass on
-    // raw payload alone
+    // the LSH verify-map gate — and the payload term sums EVERY vector's
+    // element count, so a ragged-dimension corpus can't under-measure
+    // through its first row (greatest defuses legacy sizeOfNull = -1)
     val measuredBytes =
       if (m.isNullAt(0) || m.getInt(0) <= 0) Double.MaxValue
-      else m.getLong(1).toDouble * (m.getInt(0) * 8 + 120)
+      else m.getLong(2).toDouble * 8 + m.getLong(1).toDouble * 120
     val bSide = if (measuredBytes <= (8L << 20).toDouble) broadcast(b) else b
     a.crossJoin(bSide)
       .filter(col("id_a") < col("id_b"))
@@ -355,15 +358,21 @@ object Ann {
       idCol, vecCol)
     val vecs = withNorm(p, idCol, "id", "v").persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (dim, p0, nVecs) = {
+    val (dim, p0, nVecs, sumDims) = {
       // ignoreNulls: dim must come from a real vector — a null-embedding
       // row landing first would otherwise zero the hyperplane dimension
       // and collapse every bucket (partition-order-dependent!). An
       // all-null corpus yields no entries at all, so dim 0 is inert.
-      val r = vecs.agg(first(size(col("v")), ignoreNulls = true), count(lit(1))).head()
+      // sum of element counts feeds the broadcast-budget gate: a
+      // first-row dim × count product would under-measure a
+      // ragged-dimension corpus (greatest(…, 0) defuses legacy
+      // sizeOfNull = -1 configurations).
+      val r = vecs.agg(first(size(col("v")), ignoreNulls = true), count(lit(1)),
+        coalesce(sum(greatest(size(col("v")), lit(0))), lit(0L))).head()
       val auto = math.ceil(math.log(math.max(r.getLong(1), 2L) / 32.0) / math.log(2)).toInt
       (if (r.isNullAt(0)) 0 else math.max(0, r.getInt(0)), // max: legacy sizeOfNull is -1
-        if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)), r.getLong(1))
+        if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)),
+        r.getLong(1), r.getLong(2))
     }
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, p0, seed + 7919L * t))
 
@@ -430,8 +439,10 @@ object Ann {
     // broadcast gigabytes of wide embeddings — and charges each entry
     // its JVM map overhead (~120 B: HashMap.Node + boxed key + Tuple2 +
     // boxed norm + array header) so a low-dim corpus with many rows
-    // can't blow the driver past the budget on bookkeeping alone.
-    val vecBytes = nVecs.toDouble * (dim * 8 + 120)
+    // can't blow the driver past the budget on bookkeeping alone; the
+    // payload term sums EVERY vector's element count, so a
+    // ragged-dimension corpus can't under-measure through its first row
+    val vecBytes = sumDims.toDouble * 8 + nVecs.toDouble * 120
     val out =
       if (vecBytes <= 64e6) {
         // null ids/vectors never produce verifiable pairs (they yield no

@@ -210,7 +210,8 @@ object Dedup {
       // codegen O(|A|+|B|) set kernel: array_intersect/array_union on
       // struct elements fall off Spark's hash fast path into O(|A|·|B|)
       // ordering scans per candidate pair — quadratic per pair on long
-      // documents. Division semantics identical (incl. 0/0 → NaN).
+      // documents. Drop semantics preserved: two empty sets yield -Inf
+      // (the column form's NULL division), failing every threshold.
       .withColumn("jaccard", dedupFunctions.jaccard128(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -157,7 +157,9 @@ object ServingLayout {
       Future.sequence((0 until n).map(s => Future(
         openExportedShardWith(spark, outDir, s, maxBytesPerShard, withDocs, df, stats)))),
       Duration.Inf))
-    finally pool.shutdown()
+    // shutdownNow: if one shard open failed, queued opens must not keep
+    // launching Spark collects for a cluster nobody will use
+    finally pool.shutdownNow()
   }
 }
 /** A serving node that follows a LIVE index: continuous indexing
