@@ -34,6 +34,13 @@ object Ann {
     df.select(col(idCol).cast("long").as(idAs),
       col("__vec").as(vecAs), col("__norm").as(vecAs + "_norm"))
 
+  /** size() that treats a null array as null even under legacy
+    * sizeOfNull (-1) — for first-non-null dimension probes, where a -1
+    * from a null row would otherwise decide partition-order-dependently.
+    */
+  private def nonNegSize(c: Column): Column =
+    when(size(c) >= 0, size(c))
+
   private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), col(vecCol).cast("array<double>").as("__vec"))
       .withColumn("__norm", sqrt(graft.analysis.functions.dot(col("__vec"), col("__vec"))))
@@ -105,11 +112,12 @@ object Ann {
     require(probeBits >= 0 && probeBits <= 2, "probeBits 0..2 supported")
     import org.apache.spark.sql.expressions.Window
 
-    // ignoreNulls + clamp: a null-embedding row landing first must not
-    // zero the hyperplane dimension partition-order-dependently (legacy
-    // sizeOfNull yields -1 rather than null — clamped for the same reason)
-    val dimRow = corpus.agg(first(size(col(vecCol)), ignoreNulls = true)).head()
-    val dim = if (dimRow.isNullAt(0)) 0 else math.max(0, dimRow.getInt(0))
+    // first NON-NEGATIVE size: a null-embedding row landing first must
+    // not decide the hyperplane dimension partition-order-dependently —
+    // size(null) is null by default and -1 under legacy sizeOfNull, so
+    // both are excluded by the when() before the first()
+    val dimRow = corpus.agg(first(nonNegSize(col(vecCol)), ignoreNulls = true)).head()
+    val dim = if (dimRow.isNullAt(0)) 0 else dimRow.getInt(0)
     val tables = Array.tabulate(nTables)(t => hyperplanes(dim, nPlanes, seed + 7919L * t))
 
     // bucket keys via the codegen'd LshBucketKeys expression — the corpus
@@ -289,7 +297,7 @@ object Ann {
     // legacy sizeOfNull (-1) configurations, where a negative measured
     // size would otherwise force-broadcast an arbitrarily large table
     val m = pruned
-      .agg(first(size(col(vecCol).cast("array<double>")), ignoreNulls = true),
+      .agg(first(nonNegSize(col(vecCol).cast("array<double>")), ignoreNulls = true),
         count(lit(1)),
         coalesce(sum(greatest(size(col(vecCol).cast("array<double>")), lit(0))),
           lit(0L))).head()
@@ -367,10 +375,10 @@ object Ann {
       // first-row dim × count product would under-measure a
       // ragged-dimension corpus (greatest(…, 0) defuses legacy
       // sizeOfNull = -1 configurations).
-      val r = vecs.agg(first(size(col("v")), ignoreNulls = true), count(lit(1)),
+      val r = vecs.agg(first(nonNegSize(col("v")), ignoreNulls = true), count(lit(1)),
         coalesce(sum(greatest(size(col("v")), lit(0))), lit(0L))).head()
       val auto = math.ceil(math.log(math.max(r.getLong(1), 2L) / 32.0) / math.log(2)).toInt
-      (if (r.isNullAt(0)) 0 else math.max(0, r.getInt(0)), // max: legacy sizeOfNull is -1
+      (if (r.isNullAt(0)) 0 else r.getInt(0),
         if (nPlanes > 0) nPlanes else math.min(24, math.max(4, auto)),
         r.getLong(1), r.getLong(2))
     }

@@ -153,13 +153,20 @@ object ServingLayout {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 8))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // one job group over all shard-open collects: a failed open cancels
+    // the group's in-flight Spark jobs (thread interruption alone never
+    // cancels a submitted job), and shutdownNow stops queued opens
+    val group = s"graft-export-open-$outDir-${System.nanoTime()}"
     try Serving.clusterOf(Await.result(
-      Future.sequence((0 until n).map(s => Future(
-        openExportedShardWith(spark, outDir, s, maxBytesPerShard, withDocs, df, stats)))),
+      Future.sequence((0 until n).map(s => Future {
+        spark.sparkContext.setJobGroup(group, s"exported shard $s open",
+          interruptOnCancel = true)
+        openExportedShardWith(spark, outDir, s, maxBytesPerShard, withDocs, df, stats)
+      })),
       Duration.Inf))
-    // shutdownNow: if one shard open failed, queued opens must not keep
-    // launching Spark collects for a cluster nobody will use
-    finally pool.shutdownNow()
+    catch {
+      case t: Throwable => spark.sparkContext.cancelJobGroup(group); throw t
+    } finally pool.shutdownNow()
   }
 }
 /** A serving node that follows a LIVE index: continuous indexing

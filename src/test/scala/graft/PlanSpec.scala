@@ -166,7 +166,9 @@ class PlanSpec extends AnyFunSuite {
         // wide shuffle is the round-6 'What's wrong #2'
         assert("hashpartitioning\\(h1#\\d+L, h2#\\d+L".r.findFirstIn(p).nonEmpty,
           s"$name self-join must repartition on (h1, h2):\n$p")
-        assert(!"hashpartitioning\\([^)]*(shingle|w)#\\d+[,)]".r.findFirstIn(p).isDefined,
+        // \b so an unrelated column merely ENDING in 'w' (raw#12) can't
+        // spuriously trip the raw-token-string guard
+        assert(!"hashpartitioning\\([^)]*\\b(shingle|w)#\\d+[,)]".r.findFirstIn(p).isDefined,
           s"$name must not shuffle a raw token-string column:\n$p")
       }
     } finally (ngCached ++ ppCached).foreach(_.unpersist(blocking = false))
